@@ -1,0 +1,120 @@
+"""Frozen configuration for the whole pipeline (SURVEY.md C17).
+
+Every numeric constant that the reference hard-codes in C++ lives here; the
+dataclass is hashable so it can be closed over by jitted step functions (one
+XLA compile per config).  These constants are the accuracy-critical tuning
+surface: curvature thresholds, per-sector feature budgets, voxel sizes,
+iteration caps, robust-loss scales.
+"""
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+
+
+@dataclass(frozen=True)
+class LidarConfig:
+    """Velodyne front-end (HDL-64E geometry by default)."""
+
+    n_rings: int = 64
+    n_azimuth: int = 2048  # range-image width (azimuth bins per ring)
+    elev_max_deg: float = 2.0  # top laser elevation
+    elev_min_deg: float = -24.8  # bottom laser elevation
+    min_range: float = 2.5  # drop self-returns closer than this (m)
+    max_range: float = 80.0
+    # Curvature / feature selection (LOAM-style)
+    curvature_halfwin: int = 5  # +/- neighbors in the ring for curvature
+    n_sectors: int = 8  # azimuth sectors for even feature spread
+    edges_per_sector: int = 2  # per ring-sector edge budget
+    planars_per_sector: int = 4  # per ring-sector planar budget
+    edge_min_curv: float = 0.10  # normalized curvature gate for edges
+    planar_max_curv: float = 0.05  # gate for planar points
+    occlusion_range_jump: float = 0.30  # relative range jump => occluded edge
+
+    @property
+    def k_edge(self) -> int:
+        return self.n_rings * self.n_sectors * self.edges_per_sector
+
+    @property
+    def k_planar(self) -> int:
+        return self.n_rings * self.n_sectors * self.planars_per_sector
+
+
+@dataclass(frozen=True)
+class VisionConfig:
+    """Visual front-end: Shi-Tomasi corners + pyramidal KLT (C6/C7/C8)."""
+
+    height: int = 192
+    width: int = 640
+    k_tracks: int = 256  # fixed track-table capacity
+    grid_rows: int = 8  # corner bucketing grid
+    grid_cols: int = 32
+    pyr_levels: int = 4
+    klt_halfwin: int = 7  # (2*7+1)^2 = 15x15 patch
+    klt_iters: int = 8  # GN iterations per pyramid level
+    fb_max_err: float = 1.0  # forward-backward consistency gate (px)
+    min_corner_response: float = 1e-4
+    depth_grid_cell: int = 4  # pixel bucket size for LiDAR depth association
+    max_depth_spread: float = 1.0  # reject depth interp across discontinuity (m)
+
+
+@dataclass(frozen=True)
+class SolverConfig:
+    """Correspondence + joint LM solve (C9/C10/C12)."""
+
+    voxel_size: float = 1.0  # correspondence voxel-hash cell (m)
+    hash_capacity: int = 8192  # voxel table slots (power of two)
+    voxel_occupancy: int = 8  # max points stored per voxel
+    corr_max_dist: float = 1.0  # gate NN correspondences beyond this (m)
+    map_knn: int = 5  # neighbors for map line/plane eigen-fit
+    icp_iters_odom: int = 6  # outer re-search iterations, scan-to-scan
+    icp_iters_map: int = 4  # outer re-search iterations, scan-to-map
+    lm_iters: int = 4  # inner LM iterations per re-search
+    lm_lambda_init: float = 1e-4
+    lm_lambda_up: float = 10.0
+    lm_lambda_down: float = 0.1
+    huber_delta_icp: float = 0.10  # meters
+    huber_delta_repr: float = 1.5  # pixels
+    vis_weight: float = 0.3  # relative weight of reprojection residuals
+    converge_tol: float = 1e-4  # pose-delta convergence mask threshold
+
+
+@dataclass(frozen=True)
+class MapConfig:
+    """Local map ring buffer + voxel downsample (C11)."""
+
+    edge_capacity: int = 16384
+    planar_capacity: int = 32768
+    voxel_edge: float = 0.2  # map downsample voxel for edge features
+    voxel_planar: float = 0.4
+    crop_radius: float = 80.0  # drop map points farther than this from pose
+    map_every: int = 1  # run scan-to-map refinement every k frames
+
+
+@dataclass(frozen=True)
+class VeloConfig:
+    """Top-level pipeline config; hashable => usable as a static jit arg."""
+
+    lidar: LidarConfig = dataclasses.field(default_factory=LidarConfig)
+    vision: VisionConfig = dataclasses.field(default_factory=VisionConfig)
+    solver: SolverConfig = dataclasses.field(default_factory=SolverConfig)
+    map: MapConfig = dataclasses.field(default_factory=MapConfig)
+    n_max_points: int = 131072  # padded raw scan capacity
+    use_vision: bool = True  # config 4 (fused) vs configs 1-2 (LiDAR-only)
+    use_map: bool = True  # scan-to-map refinement on/off
+    use_deskew: bool = True
+
+
+def lidar_only(**kw) -> VeloConfig:
+    return VeloConfig(use_vision=False, **kw)
+
+
+def tiny_test_config() -> VeloConfig:
+    """Small shapes for CPU unit/integration tests."""
+    return VeloConfig(
+        lidar=LidarConfig(n_rings=32, n_azimuth=1024, n_sectors=8),
+        vision=VisionConfig(height=128, width=384, k_tracks=128, grid_cols=24),
+        solver=SolverConfig(hash_capacity=4096),
+        map=MapConfig(edge_capacity=8192, planar_capacity=16384),
+        n_max_points=32 * 1024,
+    )
