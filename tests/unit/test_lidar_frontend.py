@@ -1,0 +1,185 @@
+"""LiDAR front-end: range image, curvature, feature picks, deskew."""
+import jax.numpy as jnp
+import numpy as np
+
+from velo_tpu.config import LidarConfig
+from velo_tpu.io import fixtures
+from velo_tpu.lidar import curvature, deskew, features, rangeimage
+
+
+def small_cfg(**kw):
+    base = dict(n_rings=16, n_azimuth=256, n_sectors=8, min_range=1.0,
+                max_range=100.0)
+    base.update(kw)
+    return LidarConfig(**base)
+
+
+def grid_points(cfg, radius_fn):
+    """Exact (ring, col) lattice of points at given per-cell radius."""
+    elev = np.deg2rad(
+        np.linspace(cfg.elev_max_deg, cfg.elev_min_deg, cfg.n_rings)
+    )
+    phase = (np.arange(cfg.n_azimuth) + 0.5) / cfg.n_azimuth
+    az = -2 * np.pi * phase
+    E, A = np.meshgrid(elev, az, indexing="ij")
+    r = radius_fn(E, A)
+    pts = np.stack(
+        [r * np.cos(E) * np.cos(A), r * np.cos(E) * np.sin(A), r * np.sin(E)],
+        axis=-1,
+    ).reshape(-1, 3).astype(np.float32)
+    ph = np.broadcast_to(phase[None, :], E.shape).reshape(-1).astype(np.float32)
+    return pts, ph
+
+
+def test_range_image_roundtrip():
+    cfg = small_cfg()
+    pts, ph = grid_points(cfg, lambda E, A: 10.0 + 0 * E)
+    mask = np.ones(len(pts), bool)
+    ri = rangeimage.build_range_image(
+        jnp.asarray(pts), jnp.asarray(mask), jnp.asarray(ph), cfg
+    )
+    assert bool(ri.valid.all())
+    np.testing.assert_allclose(
+        np.asarray(ri.xyz).reshape(-1, 3), pts, atol=1e-5
+    )
+
+
+def test_range_image_nearest_wins():
+    cfg = small_cfg()
+    # Two points in the same cell: ranges 5 and 9 -> 5 must win.
+    elev = np.deg2rad(cfg.elev_max_deg)
+    d = np.array([np.cos(elev), 0.0, np.sin(elev)])
+    pts = np.stack([5.0 * d, 9.0 * d]).astype(np.float32)
+    ri = rangeimage.build_range_image(
+        jnp.asarray(pts), jnp.ones(2, dtype=bool),
+        jnp.zeros(2, dtype=jnp.float32), cfg,
+    )
+    v = np.asarray(ri.rng)[0, 0]
+    np.testing.assert_allclose(v, 5.0, atol=1e-5)
+    assert np.asarray(ri.valid).sum() == 1
+
+
+def test_masked_points_ignored():
+    cfg = small_cfg()
+    pts, ph = grid_points(cfg, lambda E, A: 10.0 + 0 * E)
+    mask = np.ones(len(pts), bool)
+    # Append garbage with mask False — output must be identical.
+    bad = np.full((100, 3), 7.7, np.float32)
+    pts2 = np.concatenate([pts, bad])
+    mask2 = np.concatenate([mask, np.zeros(100, bool)])
+    ph2 = np.concatenate([ph, np.zeros(100, np.float32)])
+    a = rangeimage.build_range_image(jnp.asarray(pts), jnp.asarray(mask),
+                                     jnp.asarray(ph), cfg)
+    b = rangeimage.build_range_image(jnp.asarray(pts2), jnp.asarray(mask2),
+                                     jnp.asarray(ph2), cfg)
+    np.testing.assert_array_equal(np.asarray(a.valid), np.asarray(b.valid))
+    np.testing.assert_allclose(np.asarray(a.xyz), np.asarray(b.xyz))
+
+
+def numpy_curvature(xyz, valid, h):
+    """Slow reference implementation of ring curvature."""
+    R, W, _ = xyz.shape
+    curv = np.zeros((R, W))
+    scored = np.zeros((R, W), bool)
+    for r in range(R):
+        for c in range(W):
+            if not valid[r, c]:
+                continue
+            idx = [(c + j) % W for j in range(-h, h + 1) if j != 0]
+            if not all(valid[r, i] for i in idx):
+                continue
+            A = np.mean([xyz[r, (c - j) % W] for j in range(1, h + 1)], axis=0)
+            B = np.mean([xyz[r, (c + j) % W] for j in range(1, h + 1)], axis=0)
+            u = B - A
+            cross = np.cross(xyz[r, c] - A, u)
+            curv[r, c] = 2 * np.linalg.norm(cross) / max((u * u).sum(), 1e-8)
+            scored[r, c] = True
+    return curv, scored
+
+
+def test_curvature_vs_numpy_reference():
+    cfg = small_cfg()
+    rng = np.random.default_rng(5)
+    pts, ph = grid_points(cfg, lambda E, A: 10.0 + np.sin(5 * A) * 2.0)
+    mask = rng.random(len(pts)) > 0.1  # drop 10% to exercise masking
+    ri = rangeimage.build_range_image(jnp.asarray(pts), jnp.asarray(mask),
+                                      jnp.asarray(ph), cfg)
+    cr = curvature.compute_curvature(ri, cfg)
+    ref_c, ref_s = numpy_curvature(
+        np.asarray(ri.xyz), np.asarray(ri.valid), cfg.curvature_halfwin
+    )
+    np.testing.assert_array_equal(np.asarray(cr.scored), ref_s)
+    np.testing.assert_allclose(
+        np.asarray(cr.curv)[ref_s], ref_c[ref_s], atol=1e-5
+    )
+
+
+def test_features_on_corner_scene():
+    """Vertical corner between two walls -> edges at the corner azimuth,
+    planars on the flats."""
+    cfg = small_cfg(elev_max_deg=10.0, elev_min_deg=-10.0)
+
+    def radius(E, A):
+        # Two planes x=10 (front) and y=-10 (right): visible ranges.
+        with np.errstate(divide="ignore"):
+            r_front = np.where(np.cos(A) > 0.05, 10.0 / np.maximum(np.cos(A) * np.cos(E), 1e-3), np.inf)
+            r_right = np.where(np.sin(A) < -0.05, -10.0 / np.minimum(np.sin(A) * np.cos(E), -1e-3), np.inf)
+        return np.minimum(r_front, r_right).clip(0, 60.0)
+
+    pts, ph = grid_points(cfg, radius)
+    keep = np.linalg.norm(pts, axis=1) < 50.0
+    ri = rangeimage.build_range_image(
+        jnp.asarray(pts[keep]), jnp.asarray(np.ones(keep.sum(), bool)),
+        jnp.asarray(ph[keep]), cfg,
+    )
+    cr = curvature.compute_curvature(ri, cfg)
+    fts = features.select_features(ri, cr, cfg)
+
+    edges = np.asarray(fts.edges)[np.asarray(fts.edge_mask)]
+    planars = np.asarray(fts.planars)[np.asarray(fts.planar_mask)]
+    assert len(edges) > 4 and len(planars) > 50
+    # The physical corner is the line x=10, y=-10: all edges near it in xy.
+    d_corner = np.linalg.norm(edges[:, :2] - np.array([10.0, -10.0]), axis=1)
+    assert np.median(d_corner) < 1.5, d_corner
+    # Planars lie on one of the two walls.
+    wall_err = np.minimum(np.abs(planars[:, 0] - 10.0),
+                          np.abs(planars[:, 1] + 10.0))
+    assert np.percentile(wall_err, 90) < 0.05
+
+
+def test_deskew_restores_geometry():
+    """Motion-distorted scan of the box world: after deskew, points must lie
+    on the world surfaces (raw distorted points do not)."""
+    world = fixtures.default_world()
+    poses = fixtures.make_trajectory(2, speed=12.0)
+    scan = fixtures.simulate_velodyne(world, poses[0], poses[1], 32, 512)
+    pts = jnp.asarray(scan[:, :3])
+
+    delta = np.linalg.inv(poses[0]) @ poses[1]
+    from velo_tpu.geom import se3
+
+    xi = se3.log(jnp.asarray(delta, jnp.float32))
+    fixed, s = deskew.deskew(pts, xi)
+
+    def surface_dist(p_world):
+        # Distance to the nearest box surface (outside distance only).
+        world_min = fixtures.default_world().mins
+        world_max = fixtures.default_world().maxs
+        d = np.maximum(world_min[None] - p_world[:, None],
+                       p_world[:, None] - world_max[None])
+        inside = (d <= 0).all(axis=2)
+        dmax = np.abs(d).min(axis=2)  # closest face when inside-ish
+        per_box = np.where(inside, dmax, np.linalg.norm(np.maximum(d, 0), axis=2))
+        return per_box.min(axis=1)
+
+    T0 = poses[0]
+    raw_w = (np.asarray(pts) @ T0[:3, :3].T) + T0[:3, 3]
+    fix_w = (np.asarray(fixed) @ T0[:3, :3].T) + T0[:3, 3]
+    # Ground points stay on the (infinite) ground plane under planar motion,
+    # so restrict the raw-vs-fixed comparison to structure above the ground.
+    off_ground = raw_w[:, 2] > -1.2
+    err_raw = surface_dist(raw_w[off_ground])
+    err_fix = surface_dist(fix_w[off_ground])
+    assert np.median(err_fix) < 0.02, np.median(err_fix)
+    assert np.median(err_raw) > 5 * np.median(err_fix), (
+        np.median(err_raw), np.median(err_fix))

@@ -27,9 +27,10 @@ class LidarConfig:
     n_sectors: int = 8  # azimuth sectors for even feature spread
     edges_per_sector: int = 2  # per ring-sector edge budget
     planars_per_sector: int = 4  # per ring-sector planar budget
-    edge_min_curv: float = 0.10  # normalized curvature gate for edges
-    planar_max_curv: float = 0.05  # gate for planar points
+    edge_min_curv: float = 0.5  # spacing-normalized curvature gate for edges
+    planar_max_curv: float = 0.1  # gate for planar points
     occlusion_range_jump: float = 0.30  # relative range jump => occluded edge
+    parallel_beam_tan: float = 5.7  # tan(max surface incidence) ~ 80 deg
 
     @property
     def k_edge(self) -> int:

@@ -1,0 +1,57 @@
+"""Motion deskew (SURVEY.md C3) — constant-velocity scan undistortion.
+
+A spinning LiDAR acquires each azimuth column at a different time while the
+vehicle moves, so a raw scan is geometrically smeared.  Under the
+constant-velocity assumption the sensor pose during the sweep is
+``T(s) = T(0) @ exp(s * xi)`` where ``xi = log(delta)`` is the predicted
+frame-to-frame motion and ``s in [0,1)`` is the azimuth phase of each point.
+A point measured in the instantaneous frame at phase ``s`` maps into the
+sweep-start frame as ``p0 = exp(s*xi) @ p``.
+
+Everything is one batched vectorized pass (per-point Rodrigues via
+``se3.exp`` broadcast over N) — the reference's per-point C++ loop becomes a
+single fused XLA computation.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from velo_tpu.geom import se3
+
+_TWO_PI = 2.0 * jnp.pi
+
+
+def azimuth_phase(pts: jnp.ndarray, az_start: float = 0.0) -> jnp.ndarray:
+    """Per-point sweep phase s in [0,1) from the clockwise spin azimuth.
+
+    The scanner spins clockwise (viewed from +z): azimuth decreases over the
+    sweep.  ``az_start`` is the azimuth at which the sweep begins (0 for the
+    synthetic simulator; real KITTI sweeps start near the rear, ~pi).
+    """
+    az = jnp.arctan2(pts[..., 1], pts[..., 0])
+    return jnp.mod(az_start - az, _TWO_PI) / _TWO_PI
+
+
+def deskew(
+    pts: jnp.ndarray,
+    delta_xi: jnp.ndarray,
+    az_start: float = 0.0,
+    enabled: bool = True,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Undistort raw points into the sweep-start frame.
+
+    Args:
+      pts: (N, 3) raw points in instantaneous sensor frames.
+      delta_xi: (6,) se(3) predicted motion over the full sweep.
+      az_start: sweep start azimuth.
+      enabled: statically disable (config 1 stub) while keeping the shape path.
+
+    Returns:
+      (deskewed (N,3) points, per-point phase (N,)).
+    """
+    s = azimuth_phase(pts, az_start)
+    if not enabled:
+        return pts, s
+    T = se3.exp(s[:, None] * delta_xi[None, :])  # (N, 4, 4)
+    out = se3.apply_one(T, pts)
+    return out, s

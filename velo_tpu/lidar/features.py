@@ -1,0 +1,96 @@
+"""Edge/planar feature selection (SURVEY.md C5) — fixed-budget, sector-even.
+
+The reference walks each ring serially: sort a sector by curvature, greedily
+pick the top points, suppress each pick's +/-5 neighbors, repeat.  That serial
+NMS is hostile to SIMD hardware, so the TPU-native design replaces it with an
+equivalent *parallel* spacing rule: an edge candidate must be the strict local
+maximum of curvature within its +/-h window (planar: local minimum).  Two
+local maxima of an 2h+1 window are necessarily > h apart, so the spacing
+guarantee of the greedy NMS is preserved, and the whole selection becomes
+masked ``top_k`` per (ring, sector) block — one batched op for all 64 rings.
+
+Outputs are fixed-size ``(K, 3)`` tensors with validity masks; K is the
+static per-config budget (rings * sectors * per-sector count).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from velo_tpu.config import LidarConfig
+from velo_tpu.lidar.curvature import CurvatureResult
+from velo_tpu.lidar.rangeimage import RangeImage
+
+_NEG = -1e30
+
+
+class ScanFeatures(NamedTuple):
+    edges: jnp.ndarray  # (K_edge, 3)
+    edge_mask: jnp.ndarray  # (K_edge,)
+    planars: jnp.ndarray  # (K_planar, 3)
+    planar_mask: jnp.ndarray  # (K_planar,)
+    edge_phase: jnp.ndarray  # (K_edge,) sweep phase of each feature
+    planar_phase: jnp.ndarray  # (K_planar,)
+
+
+def _local_extremum(curv: jnp.ndarray, h: int, mode: str) -> jnp.ndarray:
+    """Strict local max (or min) of curvature along azimuth within +/-h."""
+    best = curv
+    is_ext = jnp.ones(curv.shape, dtype=bool)
+    for j in range(1, h + 1):
+        for s in (j, -j):
+            nb = jnp.roll(curv, s, axis=1)
+            if mode == "max":
+                is_ext = is_ext & (best >= nb)
+            else:
+                is_ext = is_ext & (best <= nb)
+    return is_ext
+
+
+def _sector_topk(score: jnp.ndarray, ok: jnp.ndarray, xyz: jnp.ndarray,
+                 phase: jnp.ndarray, n_sectors: int, k: int):
+    """Masked top-k per (ring, sector) -> gathered points + masks, flattened."""
+    R, W = score.shape
+    ws = W // n_sectors
+    s = jnp.where(ok, score, _NEG).reshape(R, n_sectors, ws)
+    vals, idx = jax.lax.top_k(s, k)  # (R, S, k) indices within sector
+    picked_ok = vals > _NEG / 2
+    col = idx + (jnp.arange(n_sectors, dtype=jnp.int32) * ws)[None, :, None]
+    row = jnp.broadcast_to(jnp.arange(R, dtype=jnp.int32)[:, None, None], col.shape)
+    pts = xyz[row.reshape(-1), col.reshape(-1)]
+    ph = phase[row.reshape(-1), col.reshape(-1)]
+    return pts, picked_ok.reshape(-1), ph
+
+
+def select_features(ri: RangeImage, cr: CurvatureResult,
+                    cfg: LidarConfig) -> ScanFeatures:
+    h = cfg.curvature_halfwin
+    edge_cand = (
+        cr.edge_ok
+        & (cr.curv > cfg.edge_min_curv)
+        & _local_extremum(jnp.where(cr.scored, cr.curv, _NEG), h, "max")
+    )
+    planar_cand = (
+        cr.planar_ok
+        & (cr.curv < cfg.planar_max_curv)
+        & _local_extremum(jnp.where(cr.scored, cr.curv, -_NEG), h, "min")
+    )
+
+    edges, edge_mask, edge_phase = _sector_topk(
+        cr.curv, edge_cand, ri.xyz, ri.phase, cfg.n_sectors,
+        cfg.edges_per_sector,
+    )
+    planars, planar_mask, planar_phase = _sector_topk(
+        -cr.curv, planar_cand, ri.xyz, ri.phase, cfg.n_sectors,
+        cfg.planars_per_sector,
+    )
+    # Zero out padded slots so downstream matmuls see benign values.
+    edges = jnp.where(edge_mask[:, None], edges, 0.0)
+    planars = jnp.where(planar_mask[:, None], planars, 0.0)
+    return ScanFeatures(
+        edges=edges, edge_mask=edge_mask, planars=planars,
+        planar_mask=planar_mask, edge_phase=edge_phase,
+        planar_phase=planar_phase,
+    )

@@ -1,0 +1,85 @@
+"""Ring-organized range image (SURVEY.md C4, organization half).
+
+The reference organizes points by laser ring with per-ring scan order; the
+TPU-native equivalent scatters the (padded) unordered point cloud into a fixed
+``(n_rings, n_azimuth)`` grid — ring from elevation angle, column from azimuth
+phase — so every downstream stage (curvature windows, sector budgets, feature
+picks) becomes a dense fixed-shape tensor op.
+
+Cell conflicts (two points in one bin) are resolved *deterministically* in
+favor of the nearest return using a single int32 scatter-min over a packed
+``(quantized_range << IDX_BITS) | point_index`` key — no atomics, no
+nondeterministic duplicate-index scatter.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from velo_tpu.config import LidarConfig
+
+_IDX_BITS = 17  # supports up to 131072 raw points
+_RANGE_Q = 100.0  # 1 cm quantization for the winner key
+_RANGE_MAX_Q = (1 << 14) - 1  # 14 bits => 163 m at 1 cm
+
+
+class RangeImage(NamedTuple):
+    xyz: jnp.ndarray  # (R, W, 3) deskewed points
+    rng: jnp.ndarray  # (R, W) range (0 where invalid)
+    phase: jnp.ndarray  # (R, W) sweep phase of the stored point
+    valid: jnp.ndarray  # (R, W) bool
+
+
+def build_range_image(
+    pts: jnp.ndarray,
+    mask: jnp.ndarray,
+    phase: jnp.ndarray,
+    cfg: LidarConfig,
+) -> RangeImage:
+    """Scatter (N,3) points + validity into the fixed (R, W) ring grid.
+
+    ``pts`` must already be deskewed; ``phase`` is the per-point sweep phase
+    from :func:`velo_tpu.lidar.deskew.azimuth_phase` (reused as the column
+    coordinate so the grid matches acquisition order even after deskew moved
+    the Cartesian azimuth slightly).
+    """
+    R, W = cfg.n_rings, cfg.n_azimuth
+    n = pts.shape[0]
+    assert n <= (1 << _IDX_BITS), "raise _IDX_BITS for larger scans"
+
+    rng = jnp.linalg.norm(pts, axis=-1)
+    ok = mask & (rng >= cfg.min_range) & (rng <= cfg.max_range)
+    safe_rng = jnp.where(ok, rng, 1.0)
+
+    elev = jnp.arcsin(jnp.clip(pts[..., 2] / safe_rng, -1.0, 1.0))
+    e_max = jnp.deg2rad(cfg.elev_max_deg)
+    e_min = jnp.deg2rad(cfg.elev_min_deg)
+    ring_f = (e_max - elev) / (e_max - e_min) * (R - 1)
+    ring = jnp.clip(jnp.round(ring_f).astype(jnp.int32), 0, R - 1)
+    # Reject points whose elevation is far outside the laser fan.
+    ok = ok & (ring_f > -1.0) & (ring_f < R)
+
+    col = jnp.clip((phase * W).astype(jnp.int32), 0, W - 1)
+
+    # Deterministic nearest-return winner per cell via packed scatter-min.
+    rq = jnp.clip(jnp.round(rng * _RANGE_Q), 0, _RANGE_MAX_Q).astype(jnp.int32)
+    idx = jnp.arange(n, dtype=jnp.int32)
+    key = (rq << _IDX_BITS) | idx
+    sentinel = jnp.int32(2**31 - 1)
+    key = jnp.where(ok, key, sentinel)
+    flat_cell = ring * W + col
+    # Invalid points all target cell 0 with the sentinel key (harmless).
+    flat_cell = jnp.where(ok, flat_cell, 0)
+
+    table = jnp.full((R * W,), sentinel, dtype=jnp.int32)
+    table = table.at[flat_cell].min(key)
+
+    cell_valid = table != sentinel
+    win_idx = jnp.where(cell_valid, table & ((1 << _IDX_BITS) - 1), 0)
+
+    xyz = jnp.where(cell_valid[:, None], pts[win_idx], 0.0).reshape(R, W, 3)
+    out_rng = jnp.where(cell_valid, rng[win_idx], 0.0).reshape(R, W)
+    out_phase = jnp.where(cell_valid, phase[win_idx], 0.0).reshape(R, W)
+    return RangeImage(xyz=xyz, rng=out_rng, phase=out_phase,
+                      valid=cell_valid.reshape(R, W))
