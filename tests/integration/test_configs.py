@@ -1,0 +1,126 @@
+"""Integration ladder mirroring BASELINE.json's five configs (SURVEY.md §4.2).
+
+Each test runs the real pipeline end-to-end on a synthetic KITTI-like fixture
+with exact ground truth.  Thresholds are deliberately generous bounds meant to
+catch structural regressions (sign errors, frame conventions, divergence),
+not to certify drift — the bench harness tracks accuracy trends.
+"""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from velo_tpu.config import LidarConfig, MapConfig, VeloConfig, VisionConfig
+from velo_tpu.evaluation import kitti_metric
+from velo_tpu.geom import camera as cam_mod
+from velo_tpu.io import fixtures, kitti
+from velo_tpu.pipeline import odometry
+
+N_FRAMES = 8
+RINGS, AZ = 32, 1024
+
+
+@pytest.fixture(scope="module")
+def fx():
+    return fixtures.make_fixture(
+        n_frames=N_FRAMES, n_rings=RINGS, n_azimuth=AZ, height=128,
+        width=384, with_images=True, speed=8.0,
+    )
+
+
+def base_cfg(**kw):
+    d = dict(
+        lidar=LidarConfig(n_rings=RINGS, n_azimuth=AZ),
+        vision=VisionConfig(height=128, width=384, k_tracks=128,
+                            grid_cols=24),
+        map=MapConfig(edge_capacity=8192, planar_capacity=16384),
+        n_max_points=32 * 1024,
+    )
+    d.update(kw)
+    return VeloConfig(**d)
+
+
+def rel_errors(est, gt):
+    errs = []
+    for i in range(1, len(gt)):
+        rel_gt = np.linalg.inv(gt[i - 1]) @ gt[i]
+        rel_est = np.linalg.inv(est[i - 1]) @ est[i]
+        e = np.linalg.inv(rel_gt) @ rel_est
+        errs.append(np.linalg.norm(e[:3, 3]))
+    return np.asarray(errs)
+
+
+def _run(fx, cfg, with_images=False):
+    cam = None
+    if with_images:
+        cam = cam_mod.Camera(
+            P=jnp.asarray(fx.P, jnp.float32),
+            T_cam_velo=jnp.asarray(fx.T_cam_velo, jnp.float32),
+            width=fx.images.shape[2], height=fx.images.shape[1],
+        )
+        frames = [
+            kitti.pad_scan(s, cfg.n_max_points) + (fx.images[i],)
+            for i, s in enumerate(fx.scans)
+        ]
+    else:
+        frames = [kitti.pad_scan(s, cfg.n_max_points) for s in fx.scans]
+    return odometry.run_sequence_host(frames, cfg, cam=cam)
+
+
+@pytest.mark.slow
+def test_config1_lidar_scan_to_scan(fx):
+    cfg = base_cfg(use_vision=False, use_map=False)
+    est, diag = _run(fx, cfg)
+    assert not diag["degenerate"][1:].any()
+    errs = rel_errors(est, fx.gt_poses_velo)
+    assert np.median(errs) < 0.12, errs  # <~15% of the 0.8 m frame motion
+    assert errs.max() < 0.5, errs
+
+
+@pytest.mark.slow
+def test_config2_with_local_map(fx):
+    cfg = base_cfg(use_vision=False, use_map=True)
+    est, diag = _run(fx, cfg)
+    ate = kitti_metric.ate_rmse(
+        est, np.linalg.inv(fx.gt_poses_velo[0])[None] @ fx.gt_poses_velo
+    )
+    assert ate < 1.0, ate  # bounded, not diverging
+
+
+@pytest.mark.slow
+def test_config4_fused_visual_lidar(fx):
+    cfg = base_cfg(use_vision=True, use_map=True)
+    est, diag = _run(fx, cfg, with_images=True)
+    assert not diag["degenerate"][1:].any()
+    errs = rel_errors(est, fx.gt_poses_velo)
+    assert np.median(errs) < 0.12, errs
+    ate = kitti_metric.ate_rmse(
+        est, np.linalg.inv(fx.gt_poses_velo[0])[None] @ fx.gt_poses_velo
+    )
+    assert ate < 1.0, ate
+
+
+@pytest.mark.slow
+def test_config5_batched_sequences(fx):
+    """Two sequences batched with vmap over the jitted step (config 5)."""
+    import jax
+
+    cfg = base_cfg(use_vision=False, use_map=False)
+    frames = [kitti.pad_scan(s, cfg.n_max_points) for s in fx.scans[:4]]
+    scans = jnp.asarray(np.stack([f[0] for f in frames]))
+    masks = jnp.asarray(np.stack([f[1] for f in frames]))
+    # Batch = same sequence twice (results must match the unbatched run).
+    bscans = jnp.stack([scans, scans])
+    bmasks = jnp.stack([masks, masks])
+    carry0 = odometry.init_carry(cfg)
+    bcarry = jax.tree.map(lambda x: jnp.stack([x, x]), carry0)
+
+    bfinal, bout = jax.vmap(
+        lambda c, s, m: odometry.run_scan(c, s, m, cfg)
+    )(bcarry, bscans, bmasks)
+    sfinal, sout = odometry.run_scan(carry0, scans, masks, cfg)
+    np.testing.assert_allclose(
+        np.asarray(bout.T_w[0]), np.asarray(sout.T_w), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(bout.T_w[0]), np.asarray(bout.T_w[1]), atol=0
+    )

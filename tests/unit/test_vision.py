@@ -1,0 +1,152 @@
+"""Visual front-end: corners, KLT (vs OpenCV oracle), depth association."""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from velo_tpu.config import VisionConfig
+from velo_tpu.geom import camera as cam_mod
+from velo_tpu.io import fixtures
+from velo_tpu.vision import corners, depth_assoc, klt, pyramid, tracks
+
+
+def _render(seed=0, h=128, w=384, pose_idx=0, n_poses=2, speed=6.0):
+    world = fixtures.default_world(seed)
+    P, T_cam_velo = fixtures.default_calib(h, w)
+    poses = fixtures.make_trajectory(n_poses, speed=speed, seed=seed + 2)
+    imgs = [
+        fixtures.render_camera(world, p @ np.linalg.inv(T_cam_velo), P, h, w)
+        for p in poses
+    ]
+    return imgs, P, T_cam_velo, poses
+
+
+def vcfg(**kw):
+    base = dict(height=128, width=384, k_tracks=128, grid_rows=8,
+                grid_cols=24, pyr_levels=3)
+    base.update(kw)
+    return VisionConfig(**base)
+
+
+def test_corner_response_on_checkerboard():
+    yy, xx = np.indices((128, 128))
+    img = (((yy // 32) + (xx // 32)) % 2).astype(np.float32)  # 32px checker
+    resp = np.asarray(corners.shi_tomasi_response(jnp.asarray(img)))
+    inner = resp[8:-8, 8:-8]
+    # Square corners (e.g. near (32,32)) must outscore straight edges and
+    # flat interiors by a large margin.
+    corner_resp = resp[30:35, 30:35].max()
+    edge_resp = resp[30:35, 14:18].max()  # on a vertical edge, far from corner
+    flat_resp = np.abs(resp[14:18, 14:18]).max()
+    assert corner_resp > 5 * max(edge_resp, 1e-9)
+    assert corner_resp > 50 * max(flat_resp, 1e-9)
+
+
+def test_detect_spreads_over_grid():
+    imgs, *_ = _render()
+    cfg = vcfg()
+    c = corners.detect(jnp.asarray(imgs[0]), cfg)
+    assert int(c.valid.sum()) > 50  # textured scene: most buckets fire
+    uv = np.asarray(c.uv)[np.asarray(c.valid)]
+    assert uv[:, 0].std() > 50 and uv[:, 1].std() > 20  # spread out
+
+
+def test_klt_recovers_known_shift():
+    """Track against a synthetically translated image: flow must match."""
+    imgs, *_ = _render()
+    img = imgs[0]
+    shift = (3, 5)  # (dy, dx) integer so the warp is exact
+    img2 = np.roll(np.roll(img, shift[0], axis=0), shift[1], axis=1)
+    cfg = vcfg()
+    c = corners.detect(jnp.asarray(img), cfg)
+    p_prev = pyramid.build_pyramid(jnp.asarray(img), cfg.pyr_levels)
+    p_cur = pyramid.build_pyramid(jnp.asarray(img2), cfg.pyr_levels)
+    g_prev = klt.frame_gradients(p_prev)
+    g_cur = klt.frame_gradients(p_cur)
+    res = klt.track(p_prev, p_cur, g_prev, g_cur, c.uv, c.valid, cfg)
+    ok = np.asarray(res.ok)
+    assert ok.sum() > 30
+    flow = np.asarray(res.uv) - np.asarray(c.uv)
+    err = np.abs(flow[ok] - np.array([shift[1], shift[0]]))
+    assert np.median(err) < 0.1, np.median(err)
+    assert np.percentile(err, 90) < 0.5
+
+
+def test_klt_vs_opencv_on_real_motion():
+    """Rendered frame pair with camera motion: compare against cv2 LK."""
+    cv2 = pytest.importorskip("cv2")
+    imgs, *_ = _render(n_poses=2, speed=6.0)
+    cfg = vcfg(klt_iters=12)
+    c = corners.detect(jnp.asarray(imgs[0]), cfg)
+    p_prev = pyramid.build_pyramid(jnp.asarray(imgs[0]), cfg.pyr_levels)
+    p_cur = pyramid.build_pyramid(jnp.asarray(imgs[1]), cfg.pyr_levels)
+    res = klt.track(p_prev, p_cur, klt.frame_gradients(p_prev),
+                    klt.frame_gradients(p_cur), c.uv, c.valid, cfg)
+
+    a = (np.asarray(imgs[0]) * 255).astype(np.uint8)
+    b = (np.asarray(imgs[1]) * 255).astype(np.uint8)
+    pts = np.asarray(c.uv, np.float32).reshape(-1, 1, 2)
+    cv_pts, st, err = cv2.calcOpticalFlowPyrLK(
+        a, b, pts, None, winSize=(15, 15), maxLevel=cfg.pyr_levels - 1
+    )
+    both = np.asarray(res.ok) & (st.reshape(-1) == 1) & np.asarray(c.valid)
+    assert both.sum() > 30
+    diff = np.linalg.norm(
+        np.asarray(res.uv)[both] - cv_pts.reshape(-1, 2)[both], axis=1
+    )
+    # Sub-pixel agreement with OpenCV for the vast majority of tracks.
+    assert np.median(diff) < 0.35, np.median(diff)
+
+
+def test_track_table_replenish_and_cull():
+    cfg = vcfg()
+    t = tracks.empty_tracks(cfg)
+    imgs, *_ = _render()
+    c = corners.detect(jnp.asarray(imgs[0]), cfg)
+    t = tracks.replenish(t, c, cfg)
+    n0 = int(t.active.sum())
+    assert n0 > 50
+    # Fail half the tracks -> slots free -> replenish refills them.
+    ok = jnp.asarray(np.arange(cfg.k_tracks) % 2 == 0)
+    t = tracks.after_tracking(t, t.uv, ok)
+    assert int(t.active.sum()) < n0
+    t2 = tracks.replenish(t, c, cfg)
+    assert int(t2.active.sum()) >= int(t.active.sum())
+    # No two active tracks share a grid bucket (spacing invariant).
+    b = np.asarray(tracks._bucket_of(t2.uv, cfg))[np.asarray(t2.active)]
+    assert len(np.unique(b)) == len(b)
+
+
+def test_depth_association_exact_on_fixture():
+    """Depth at a projected LiDAR point must match its true depth."""
+    world = fixtures.default_world()
+    h, w = 128, 384
+    P, T_cam_velo = fixtures.default_calib(h, w)
+    poses = fixtures.make_trajectory(2)
+    scan = fixtures.simulate_velodyne(world, poses[0], poses[0], 48, 1500,
+                                      elev_max_deg=5.0, elev_min_deg=-25.0)
+    cfg = vcfg()
+    cam = cam_mod.Camera(P=jnp.asarray(P, jnp.float32),
+                         T_cam_velo=jnp.asarray(T_cam_velo, jnp.float32),
+                         width=w, height=h)
+    pts = jnp.asarray(scan[:, :3])
+    mask = jnp.ones(len(scan), dtype=bool)
+    grid = depth_assoc.build_depth_grid(pts, mask, cam, cfg)
+    assert int(grid.valid.sum()) > 200
+
+    # Query at the exact projections of a subset of scan points.
+    from velo_tpu.geom import se3
+
+    p_cam = se3.apply(cam.T_cam_velo[None], pts[None])[0]
+    uv, z, front = cam_mod.project_depth(cam.P, p_cam)
+    inside = np.asarray(front) & (np.asarray(uv)[:, 0] > 10) & (
+        np.asarray(uv)[:, 0] < w - 10
+    ) & (np.asarray(uv)[:, 1] > 10) & (np.asarray(uv)[:, 1] < h - 10)
+    sel = np.nonzero(inside)[0][:: max(1, inside.sum() // 64)][:64]
+    res = depth_assoc.associate(
+        grid, jnp.asarray(np.asarray(uv)[sel]),
+        jnp.ones(len(sel), dtype=bool), cam, cfg,
+    )
+    ok = np.asarray(res.ok)
+    assert ok.sum() > 20
+    err = np.abs(np.asarray(res.depth)[ok] - np.asarray(z)[sel][ok])
+    assert np.median(err) < 0.05, np.median(err)

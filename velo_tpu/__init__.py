@@ -23,4 +23,16 @@ import jax as _jax
 # bandwidth-bound kernels opt into lower precision explicitly where safe.
 _jax.config.update("jax_default_matmul_precision", "highest")
 
+# Persistent compilation cache: the pipeline is a handful of large fixed-shape
+# programs recompiled identically across runs; caching turns 30-60 s compiles
+# into milliseconds on every run after the first.
+import os as _os
+
+_cache_dir = _os.environ.get("VELO_TPU_CACHE", "/tmp/velo_tpu_xla_cache")
+try:
+    _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+except Exception:  # pragma: no cover - older jaxlib without the option
+    pass
+
 __version__ = "0.1.0"

@@ -1,0 +1,153 @@
+"""Command-line driver (SURVEY.md L6): run odometry, write KITTI poses, eval.
+
+Mirrors the reference's single CLI entry point:
+
+  velo-tpu --synthetic --frames 20 --out out/           # simulated drive
+  velo-tpu --kitti-root /data/kitti --seq 00 --out out/ # real KITTI sequence
+
+Writes ``<out>/<seq>.txt`` in KITTI 3x4 row-major format and, when ground
+truth is available, prints the official drift metric.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def build_parser():
+    p = argparse.ArgumentParser(prog="velo-tpu", description=__doc__)
+    src = p.add_mutually_exclusive_group(required=True)
+    src.add_argument("--synthetic", action="store_true",
+                     help="run on a simulated KITTI-like drive")
+    src.add_argument("--kitti-root", help="KITTI odometry dataset root")
+    p.add_argument("--seq", default="00", help="sequence id (KITTI mode)")
+    p.add_argument("--frames", type=int, default=20,
+                   help="frame count (synthetic) or limit (KITTI, 0=all)")
+    p.add_argument("--out", default="out", help="output directory")
+    p.add_argument("--no-vision", action="store_true",
+                   help="LiDAR-only pipeline (configs 1-2)")
+    p.add_argument("--no-map", action="store_true",
+                   help="disable scan-to-map refinement (config 1)")
+    p.add_argument("--no-deskew", action="store_true")
+    p.add_argument("--rings", type=int, default=None,
+                   help="override ring count (synthetic default 32)")
+    p.add_argument("--azimuth", type=int, default=None)
+    p.add_argument("--json", action="store_true",
+                   help="print a machine-readable result line")
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+
+    import jax.numpy as jnp
+
+    from velo_tpu.config import LidarConfig, VeloConfig, VisionConfig
+    from velo_tpu.evaluation import kitti_metric
+    from velo_tpu.geom import camera as cam_mod
+    from velo_tpu.io import fixtures, kitti
+    from velo_tpu.pipeline import odometry
+
+    use_vision = not args.no_vision
+
+    if args.synthetic:
+        rings = args.rings or 32
+        az = args.azimuth or 1024
+        h, w = 128, 384
+        cfg = VeloConfig(
+            lidar=LidarConfig(n_rings=rings, n_azimuth=az),
+            vision=VisionConfig(height=h, width=w, k_tracks=128,
+                                grid_cols=24),
+            n_max_points=rings * az,
+            use_vision=use_vision,
+            use_map=not args.no_map,
+            use_deskew=not args.no_deskew,
+        )
+        print(f"simulating {args.frames} frames…", file=sys.stderr)
+        fx = fixtures.make_fixture(
+            n_frames=args.frames, n_rings=rings, n_azimuth=az, height=h,
+            width=w, with_images=use_vision,
+        )
+        cam = cam_mod.Camera(
+            P=jnp.asarray(fx.P, jnp.float32),
+            T_cam_velo=jnp.asarray(fx.T_cam_velo, jnp.float32),
+            width=w, height=h,
+        ) if use_vision else None
+        frames = [
+            kitti.pad_scan(s, cfg.n_max_points)
+            + ((fx.images[i],) if use_vision else ())
+            for i, s in enumerate(fx.scans)
+        ]
+        gt_cam = fx.gt_poses_cam
+        T_cam_velo = fx.T_cam_velo
+        seq_name = "synthetic"
+    else:
+        cfg = VeloConfig(
+            use_vision=use_vision,
+            use_map=not args.no_map,
+            use_deskew=not args.no_deskew,
+        )
+        seq = kitti.KittiSequence(args.kitti_root, args.seq,
+                                  cfg.n_max_points)
+        n = seq.n_frames if args.frames == 0 else min(args.frames,
+                                                      seq.n_frames)
+        T_cam_velo = seq.calib["Tr"]
+        cam = cam_mod.Camera(
+            P=jnp.asarray(seq.calib["P0"], jnp.float32),
+            T_cam_velo=jnp.asarray(T_cam_velo, jnp.float32),
+            width=cfg.vision.width, height=cfg.vision.height,
+        ) if use_vision else None
+
+        def gen():
+            for i in range(n):
+                scan, mask = seq.scan(i)
+                if use_vision:
+                    yield scan, mask, seq.image(i)
+                else:
+                    yield scan, mask
+
+        frames = gen()
+        gt_cam = seq.gt_poses[:n] if seq.gt_poses is not None else None
+        seq_name = args.seq
+
+    t0 = time.perf_counter()
+    poses_velo, diag = odometry.run_sequence_host(frames, cfg, cam=cam)
+    dt = time.perf_counter() - t0
+    fps = len(poses_velo) / dt
+
+    poses_cam = odometry.velo_to_cam_trajectory(poses_velo, T_cam_velo)
+    out_path = os.path.join(args.out, f"{seq_name}.txt")
+    kitti.write_poses(out_path, poses_cam)
+    print(f"wrote {out_path} ({len(poses_velo)} poses, {fps:.1f} fps "
+          f"incl. host I/O)", file=sys.stderr)
+    print(f"degenerate frames: {int(diag['degenerate'][1:].sum())}",
+          file=sys.stderr)
+
+    result = {"frames": len(poses_velo), "fps": round(fps, 2)}
+    if gt_cam is not None:
+        errs = kitti_metric.evaluate_trajectory(poses_cam, gt_cam)
+        ate = kitti_metric.ate_rmse(poses_cam, gt_cam)
+        result.update(ate_rmse_m=round(ate, 4), n_segments=errs.n_segments)
+        if errs.n_segments > 0:  # NaN would corrupt the JSON line
+            result.update(
+                t_err_pct=errs.t_err_pct,
+                r_err_deg_per_100m=errs.r_err_deg_per_100m,
+            )
+        print(
+            f"drift: {errs.t_err_pct:.4f} %/100m trans, "
+            f"{errs.r_err_deg_per_100m:.4f} deg/100m rot "
+            f"({errs.n_segments} segments); ATE {ate:.3f} m",
+            file=sys.stderr,
+        )
+    if args.json:
+        print(json.dumps(result))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

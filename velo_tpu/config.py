@@ -31,6 +31,7 @@ class LidarConfig:
     planar_max_curv: float = 0.1  # gate for planar points
     occlusion_range_jump: float = 0.30  # relative range jump => occluded edge
     parallel_beam_tan: float = 5.7  # tan(max surface incidence) ~ 80 deg
+    target_mult: int = 3  # density multiplier of the match-target feature set
 
     @property
     def k_edge(self) -> int:

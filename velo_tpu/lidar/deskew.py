@@ -55,3 +55,18 @@ def deskew(
     T = se3.exp(s[:, None] * delta_xi[None, :])  # (N, 4, 4)
     out = se3.apply_one(T, pts)
     return out, s
+
+
+def redeskew(pts: jnp.ndarray, phase: jnp.ndarray, xi_old: jnp.ndarray,
+             xi_new: jnp.ndarray) -> jnp.ndarray:
+    """Re-correct already-deskewed points with an improved motion estimate.
+
+    Deskew ran with the *predicted* motion before the solve; once the joint
+    solve yields the realized motion, features must be re-expressed with it —
+    otherwise consecutive frames carry different residual distortion and
+    scan-to-scan matching inherits that mismatch (the dominant error source
+    found in end-to-end testing):  p_fix = exp(s*xi_new) exp(-s*xi_old) p.
+    """
+    s = phase[:, None]
+    T = se3.exp(s * xi_new[None, :]) @ se3.exp(-s * xi_old[None, :])
+    return se3.apply_one(T, pts)

@@ -33,6 +33,8 @@ class ScanFeatures(NamedTuple):
     planar_mask: jnp.ndarray  # (K_planar,)
     edge_phase: jnp.ndarray  # (K_edge,) sweep phase of each feature
     planar_phase: jnp.ndarray  # (K_planar,)
+    edge_ring: jnp.ndarray  # (K_edge,) int32 laser ring of each feature
+    planar_ring: jnp.ndarray  # (K_planar,)
 
 
 def _local_extremum(curv: jnp.ndarray, h: int, mode: str) -> jnp.ndarray:
@@ -61,30 +63,41 @@ def _sector_topk(score: jnp.ndarray, ok: jnp.ndarray, xyz: jnp.ndarray,
     row = jnp.broadcast_to(jnp.arange(R, dtype=jnp.int32)[:, None, None], col.shape)
     pts = xyz[row.reshape(-1), col.reshape(-1)]
     ph = phase[row.reshape(-1), col.reshape(-1)]
-    return pts, picked_ok.reshape(-1), ph
+    return pts, picked_ok.reshape(-1), ph, row.reshape(-1)
 
 
-def select_features(ri: RangeImage, cr: CurvatureResult,
-                    cfg: LidarConfig) -> ScanFeatures:
+def select_features(ri: RangeImage, cr: CurvatureResult, cfg: LidarConfig,
+                    target: bool = False) -> ScanFeatures:
+    """Pick edge/planar features.
+
+    ``target=False`` (default) picks the sparse "sharp/flat" query set.
+    ``target=True`` picks the denser, looser-gated set the *next* frame will
+    match against (the reference's sharp -> less-sharp asymmetry): bigger
+    per-sector budgets, relaxed curvature gates, and no local-extremum
+    spacing rule — density is what makes the neighbor line/plane fits tight.
+    """
     h = cfg.curvature_halfwin
-    edge_cand = (
-        cr.edge_ok
-        & (cr.curv > cfg.edge_min_curv)
-        & _local_extremum(jnp.where(cr.scored, cr.curv, _NEG), h, "max")
-    )
-    planar_cand = (
-        cr.planar_ok
-        & (cr.curv < cfg.planar_max_curv)
-        & _local_extremum(jnp.where(cr.scored, cr.curv, -_NEG), h, "min")
-    )
+    mult = cfg.target_mult if target else 1
+    edge_gate = cfg.edge_min_curv * (0.6 if target else 1.0)
+    planar_gate = cfg.planar_max_curv * (2.0 if target else 1.0)
 
-    edges, edge_mask, edge_phase = _sector_topk(
+    edge_cand = cr.edge_ok & (cr.curv > edge_gate)
+    planar_cand = cr.planar_ok & (cr.curv < planar_gate)
+    if not target:
+        edge_cand = edge_cand & _local_extremum(
+            jnp.where(cr.scored, cr.curv, _NEG), h, "max"
+        )
+        planar_cand = planar_cand & _local_extremum(
+            jnp.where(cr.scored, cr.curv, -_NEG), h, "min"
+        )
+
+    edges, edge_mask, edge_phase, edge_ring = _sector_topk(
         cr.curv, edge_cand, ri.xyz, ri.phase, cfg.n_sectors,
-        cfg.edges_per_sector,
+        cfg.edges_per_sector * mult,
     )
-    planars, planar_mask, planar_phase = _sector_topk(
+    planars, planar_mask, planar_phase, planar_ring = _sector_topk(
         -cr.curv, planar_cand, ri.xyz, ri.phase, cfg.n_sectors,
-        cfg.planars_per_sector,
+        cfg.planars_per_sector * mult,
     )
     # Zero out padded slots so downstream matmuls see benign values.
     edges = jnp.where(edge_mask[:, None], edges, 0.0)
@@ -92,5 +105,6 @@ def select_features(ri: RangeImage, cr: CurvatureResult,
     return ScanFeatures(
         edges=edges, edge_mask=edge_mask, planars=planars,
         planar_mask=planar_mask, edge_phase=edge_phase,
-        planar_phase=planar_phase,
+        planar_phase=planar_phase, edge_ring=edge_ring,
+        planar_ring=planar_ring,
     )

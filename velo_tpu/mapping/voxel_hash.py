@@ -1,0 +1,152 @@
+"""Voxel-hash fixed-radius neighbor grid (SURVEY.md C9) — the KD-tree killer.
+
+The reference's hottest native component is a PCL KdTreeFLANN nearest-neighbor
+search inside the ICP loop.  Trees are pointer-chasing and recursion — the
+worst possible shape for a vector machine — so the TPU-native replacement is a
+*sorted voxel grid*:
+
+  build:  quantize points to voxel coords, pack them into a single sortable
+          int32 key, sort points by key (``jax.lax.sort`` is fast on TPU).
+  query:  for each query point, enumerate its 27-voxel neighborhood
+          (statically unrolled), ``searchsorted`` each neighbor key into the
+          sorted key array, gather up to S consecutive occupants per voxel,
+          and take a masked top-k by distance over the <= 27*S candidates.
+
+Everything is fixed-shape, mask-correct, and exact for neighbors within one
+voxel of the query (choose ``voxel_size >= corr_max_dist`` for exactness —
+verified against scipy cKDTree in tests).  Voxel coordinates are clamped to a
++/-511-cell window around a configurable center, so grids must be built in a
+local frame (scan frame / pose-centered map frame), which the pipeline
+guarantees by construction.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+_B = 10  # bits per axis
+_HALF = 1 << (_B - 1)  # 512
+_SENTINEL = jnp.int32(2**31 - 1)
+
+
+class VoxelGrid(NamedTuple):
+    keys: jnp.ndarray  # (N,) sorted packed voxel keys (sentinel = invalid)
+    pts: jnp.ndarray  # (N, 3) points in key-sorted order
+    payload: jnp.ndarray  # (N, P) extra per-point data (ring id, …), sorted
+    voxel_size: float
+    center: jnp.ndarray  # (3,) frame recentring applied before quantization
+
+
+def _pack(coords: jnp.ndarray) -> jnp.ndarray:
+    """Pack (…, 3) int voxel coords into one sortable int32 key."""
+    c = jnp.clip(coords + _HALF, 0, (1 << _B) - 1).astype(jnp.int32)
+    return (c[..., 0] << (2 * _B)) | (c[..., 1] << _B) | c[..., 2]
+
+
+def _voxel_coords(pts: jnp.ndarray, voxel_size: float,
+                  center: jnp.ndarray) -> jnp.ndarray:
+    return jnp.floor((pts - center) / voxel_size).astype(jnp.int32)
+
+
+def build_grid(
+    pts: jnp.ndarray,
+    mask: jnp.ndarray,
+    voxel_size: float,
+    center: jnp.ndarray | None = None,
+    payload: jnp.ndarray | None = None,
+) -> VoxelGrid:
+    """Sort (N,3)+mask points into a queryable voxel grid (jit-safe)."""
+    n = pts.shape[0]
+    if center is None:
+        center = jnp.zeros(3, pts.dtype)
+    if payload is None:
+        payload = jnp.zeros((n, 0), jnp.int32)
+    keys = jnp.where(mask, _pack(_voxel_coords(pts, voxel_size, center)),
+                     _SENTINEL)
+    order = jnp.argsort(keys)
+    return VoxelGrid(
+        keys=keys[order],
+        pts=pts[order],
+        payload=payload[order],
+        voxel_size=voxel_size,
+        center=center,
+    )
+
+
+_OFFSETS = [
+    (dx, dy, dz)
+    for dx in (-1, 0, 1)
+    for dy in (-1, 0, 1)
+    for dz in (-1, 0, 1)
+]
+
+
+def knn(
+    grid: VoxelGrid,
+    queries: jnp.ndarray,
+    qmask: jnp.ndarray,
+    k: int,
+    max_dist: float,
+    occupancy: int = 8,
+):
+    """Masked k-nearest-neighbors within max_dist via 27-voxel gather.
+
+    Returns (idx (Q,k) into grid.pts order, dist (Q,k), valid (Q,k)).
+    Exact when max_dist <= voxel_size; padded/masked queries yield all-invalid.
+    """
+    n = grid.keys.shape[0]
+    q = queries.shape[0]
+    base = _voxel_coords(queries, grid.voxel_size, grid.center)  # (Q,3)
+
+    cand_idx = []
+    cand_ok = []
+    for off in _OFFSETS:
+        nk = _pack(base + jnp.asarray(off, jnp.int32))
+        start = jnp.searchsorted(grid.keys, nk, side="left")  # (Q,)
+        for s in range(occupancy):
+            ci = jnp.clip(start + s, 0, n - 1)
+            ok = grid.keys[ci] == nk
+            cand_idx.append(ci)
+            cand_ok.append(ok)
+    cand_idx = jnp.stack(cand_idx, axis=1)  # (Q, 27*S)
+    cand_ok = jnp.stack(cand_ok, axis=1)
+
+    cpts = grid.pts[cand_idx]  # (Q, 27*S, 3)
+    d2 = jnp.sum((cpts - queries[:, None, :]) ** 2, axis=-1)
+    d2 = jnp.where(cand_ok & qmask[:, None], d2, jnp.inf)
+
+    # Deduplicate: a candidate index can only repeat across voxel offsets if
+    # keys collide after clamping, which the local-frame contract prevents.
+    import jax
+
+    neg, top_i = jax.lax.top_k(-d2, k)
+    dist2 = -neg
+    idx = jnp.take_along_axis(cand_idx, top_i, axis=1)
+    valid = jnp.isfinite(dist2) & (dist2 <= max_dist * max_dist)
+    dist = jnp.sqrt(jnp.where(jnp.isfinite(dist2), dist2, 1e12))
+    return idx, dist, valid
+
+
+def voxel_downsample(
+    pts: jnp.ndarray,
+    mask: jnp.ndarray,
+    voxel_size: float,
+    center: jnp.ndarray | None = None,
+):
+    """Keep one representative point per voxel (deterministic: lowest index).
+
+    Fixed-shape replacement for PCL VoxelGrid (SURVEY.md C11): output has the
+    same length with a reduced validity mask; survivors keep their position.
+    """
+    n = pts.shape[0]
+    if center is None:
+        center = jnp.zeros(3, pts.dtype)
+    keys = jnp.where(mask, _pack(_voxel_coords(pts, voxel_size, center)),
+                     _SENTINEL)
+    order = jnp.argsort(keys)
+    sk = keys[order]
+    first = jnp.concatenate([jnp.ones((1,), bool), sk[1:] != sk[:-1]])
+    keep_sorted = first & (sk != _SENTINEL)
+    keep = jnp.zeros((n,), bool).at[order].set(keep_sorted)
+    return mask & keep

@@ -1,0 +1,331 @@
+"""Odometry state machine (SURVEY.md C13): one jitted step, scanned over frames.
+
+Per frame (reference call stack §3.1), entirely on-device:
+
+  predict (constant velocity) -> deskew -> range image -> curvature ->
+  feature selection -> scan-to-scan joint solve vs previous features ->
+  local-map insert/maintain -> scan-to-map refinement -> publish pose
+
+The carry is a single fixed-shape pytree (pose, velocity, previous features,
+map ring buffers), so the whole sequence can run as ``jax.lax.scan`` with
+zero host round-trips, or be driven frame-by-frame by a host streaming loop
+(same compiled step) when scans arrive from disk.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from velo_tpu.config import VeloConfig
+from velo_tpu.geom import camera as cam_mod
+from velo_tpu.geom import se3
+from velo_tpu.lidar import curvature as curv_mod
+from velo_tpu.lidar import deskew as deskew_mod
+from velo_tpu.lidar import features as feat_mod
+from velo_tpu.lidar import rangeimage as ri_mod
+from velo_tpu.mapping import local_map, voxel_hash
+from velo_tpu.solve import icp
+from velo_tpu.vision import corners as corners_mod
+from velo_tpu.vision import depth_assoc
+from velo_tpu.vision import klt as klt_mod
+from velo_tpu.vision import pyramid as pyr_mod
+from velo_tpu.vision import tracks as tracks_mod
+
+
+class VisionCarry(NamedTuple):
+    pyr: tuple  # previous image pyramid (levels static)
+    grads: tuple  # per-level (gx, gy) of the previous pyramid
+    tracks: tracks_mod.TrackTable
+
+
+class OdomCarry(NamedTuple):
+    T_w: jnp.ndarray  # (4,4) world-from-current-scan-start pose
+    delta: jnp.ndarray  # (6,) last frame-to-frame motion (xi of T_prev_cur)
+    prev_edges: jnp.ndarray  # (K_e, 3) previous-scan edge features
+    prev_edge_mask: jnp.ndarray
+    prev_edge_ring: jnp.ndarray  # (K_e,) int32
+    prev_planars: jnp.ndarray  # (K_p, 3)
+    prev_planar_mask: jnp.ndarray
+    edge_map: local_map.LocalMap
+    planar_map: local_map.LocalMap
+    frame_idx: jnp.ndarray  # scalar int32
+    vision: VisionCarry | None = None
+
+
+class FrameResult(NamedTuple):
+    T_w: jnp.ndarray  # (4,4) pose of this frame (velodyne frame)
+    n_edge: jnp.ndarray
+    n_planar: jnp.ndarray
+    cost: jnp.ndarray
+    degenerate: jnp.ndarray
+
+
+def init_carry(cfg: VeloConfig) -> OdomCarry:
+    lc = cfg.lidar
+    vision = None
+    if cfg.use_vision:
+        vc = cfg.vision
+        zero = jnp.zeros((vc.height, vc.width), jnp.float32)
+        pyr = pyr_mod.build_pyramid(zero, vc.pyr_levels)
+        vision = VisionCarry(
+            pyr=pyr,
+            grads=klt_mod.frame_gradients(pyr),
+            tracks=tracks_mod.empty_tracks(vc),
+        )
+    ke = lc.k_edge * lc.target_mult
+    kp = lc.k_planar * lc.target_mult
+    return OdomCarry(
+        vision=vision,
+        T_w=se3.identity(),
+        delta=jnp.zeros(6, jnp.float32),
+        prev_edges=jnp.zeros((ke, 3), jnp.float32),
+        prev_edge_mask=jnp.zeros((ke,), bool),
+        prev_edge_ring=jnp.zeros((ke,), jnp.int32),
+        prev_planars=jnp.zeros((kp, 3), jnp.float32),
+        prev_planar_mask=jnp.zeros((kp,), bool),
+        edge_map=local_map.empty_map(cfg.map.edge_capacity),
+        planar_map=local_map.empty_map(cfg.map.planar_capacity),
+        frame_idx=jnp.int32(0),
+    )
+
+
+def _extract_features(pts3, mask, phase, cfg: VeloConfig):
+    """Returns (query_features, target_features) from one scan."""
+    ri = ri_mod.build_range_image(pts3, mask, phase, cfg.lidar)
+    cr = curv_mod.compute_curvature(ri, cfg.lidar)
+    q = feat_mod.select_features(ri, cr, cfg.lidar)
+    t = feat_mod.select_features(ri, cr, cfg.lidar, target=True)
+    return q, t
+
+
+def step(carry: OdomCarry, scan: jnp.ndarray, scan_mask: jnp.ndarray,
+         cfg: VeloConfig, image: jnp.ndarray | None = None,
+         cam: cam_mod.Camera | None = None):
+    """Process one frame. scan: (N_MAX, 4) padded raw points + mask;
+    image: (H, W) float32 grayscale when cfg.use_vision."""
+    sc = cfg.solver
+
+    # 1) Predict + deskew with the constant-velocity motion model.
+    pts3, phase = deskew_mod.deskew(
+        scan[:, :3], carry.delta, enabled=cfg.use_deskew
+    )
+
+    # 2) LiDAR front-end: sparse query set + dense match-target set.
+    feats, tfeats = _extract_features(pts3, scan_mask, phase, cfg)
+
+    # 2v) Visual front-end: pyramid + KLT track + reprojection data.
+    vis_data = None
+    if cfg.use_vision:
+        vc = cfg.vision
+        vcar = carry.vision
+        cur_pyr = pyr_mod.build_pyramid(image, vc.pyr_levels)
+        cur_grads = klt_mod.frame_gradients(cur_pyr)
+        tr = klt_mod.track(vcar.pyr, cur_pyr, vcar.grads, cur_grads,
+                           vcar.tracks.uv, vcar.tracks.active, vc)
+        table = tracks_mod.after_tracking(vcar.tracks, tr.uv, tr.ok)
+        vis_data = icp.VisData(
+            xyz_prev_velo=vcar.tracks.prev_xyz_velo,
+            obs_uv=table.uv,
+            mask=table.active & vcar.tracks.has_depth
+            & (carry.frame_idx > 0),
+            P=cam.P,
+            T_cam_velo=cam.T_cam_velo,
+        )
+
+    # 3) Scan-to-scan joint solve vs previous features (+ visual residuals).
+    edge_grid = voxel_hash.build_grid(
+        carry.prev_edges, carry.prev_edge_mask, sc.voxel_size,
+        payload=carry.prev_edge_ring[:, None],
+    )
+    planar_grid = voxel_hash.build_grid(
+        carry.prev_planars, carry.prev_planar_mask, sc.voxel_size
+    )
+    T_rel, diag = icp.solve_scan_to_scan(
+        feats.edges, feats.edge_mask, feats.planars, feats.planar_mask,
+        edge_grid, planar_grid, se3.exp(carry.delta), sc, vis=vis_data,
+    )
+    # Deskew/solve fixed point: the first solve ran on features deskewed with
+    # the *predicted* motion; re-correct them with the solved motion and solve
+    # again, otherwise a prediction bias self-perpetuates (each solve matches
+    # residually-distorted features and under-estimates the same way).
+    if cfg.use_deskew:
+        delta1 = se3.log(T_rel)
+        # Frames 0/1 have no usable motion estimate for the *previous* scan,
+        # so its stored features are distorted; keep the current frame's
+        # distortion consistent with it (identity re-correction) there —
+        # distorted-vs-distorted matching cancels under constant velocity.
+        delta1 = jnp.where(carry.frame_idx >= 2, delta1, carry.delta)
+        e2 = deskew_mod.redeskew(feats.edges, feats.edge_phase, carry.delta,
+                                 delta1)
+        p2 = deskew_mod.redeskew(feats.planars, feats.planar_phase,
+                                 carry.delta, delta1)
+        feats = feats._replace(
+            edges=jnp.where(feats.edge_mask[:, None], e2, 0.0),
+            planars=jnp.where(feats.planar_mask[:, None], p2, 0.0),
+        )
+        te2 = deskew_mod.redeskew(tfeats.edges, tfeats.edge_phase,
+                                  carry.delta, delta1)
+        tp2 = deskew_mod.redeskew(tfeats.planars, tfeats.planar_phase,
+                                  carry.delta, delta1)
+        tfeats = tfeats._replace(
+            edges=jnp.where(tfeats.edge_mask[:, None], te2, 0.0),
+            planars=jnp.where(tfeats.planar_mask[:, None], tp2, 0.0),
+        )
+        T_rel, diag = icp.solve_scan_to_scan(
+            feats.edges, feats.edge_mask, feats.planars, feats.planar_mask,
+            edge_grid, planar_grid, T_rel, sc, vis=vis_data,
+        )
+        # From here on the features are corrected relative to delta1.
+        deskew_ref = delta1
+    else:
+        deskew_ref = carry.delta
+    T_w = carry.T_w @ T_rel
+
+    # 4) Scan-to-map refinement against the local map (config >= 2).
+    if cfg.use_map:
+        center = T_w[:3, 3]
+        e_grid = local_map.to_grid(carry.edge_map, center, sc.voxel_size)
+        p_grid = local_map.to_grid(carry.planar_map, center, sc.voxel_size)
+        has_map = jnp.sum(carry.edge_map.mask) + jnp.sum(
+            carry.planar_map.mask
+        ) > 100
+        T_map, diag_m = icp.solve_scan_to_map(
+            feats.edges, feats.edge_mask, feats.planars, feats.planar_mask,
+            e_grid, p_grid, T_w, sc,
+        )
+        T_w = jnp.where(has_map & ~diag_m.degenerate, T_map, T_w)
+
+    # 5) Velocity update from the *realized* motion.
+    delta_new = se3.log(se3.inv(carry.T_w) @ T_w)
+    # First frame has no reference: keep zero velocity, identity pose.
+    first = carry.frame_idx == 0
+    delta_new = jnp.where(first, jnp.zeros(6, jnp.float32), delta_new)
+
+    # 6) Re-correct features with the solved motion: deskew ran with the
+    # prediction; consecutive frames must carry consistent (zero) residual
+    # distortion or matching inherits the mismatch.
+    if cfg.use_deskew:
+        edges_fix = deskew_mod.redeskew(tfeats.edges, tfeats.edge_phase,
+                                        deskew_ref, delta_new)
+        planars_fix = deskew_mod.redeskew(tfeats.planars, tfeats.planar_phase,
+                                          deskew_ref, delta_new)
+        edges_fix = jnp.where(tfeats.edge_mask[:, None], edges_fix, 0.0)
+        planars_fix = jnp.where(tfeats.planar_mask[:, None], planars_fix, 0.0)
+    else:
+        edges_fix, planars_fix = tfeats.edges, tfeats.planars
+
+    # 7) Map update: insert corrected features (world frame), bound density.
+    if cfg.use_map:
+        w_edges = se3.apply(T_w[None], edges_fix[None])[0]
+        w_planars = se3.apply(T_w[None], planars_fix[None])[0]
+        edge_map = local_map.insert(carry.edge_map, w_edges, tfeats.edge_mask)
+        planar_map = local_map.insert(carry.planar_map, w_planars,
+                                      tfeats.planar_mask)
+        edge_map = local_map.maintain(edge_map, T_w[:3, 3],
+                                      cfg.map.voxel_edge, cfg.map.crop_radius)
+        planar_map = local_map.maintain(planar_map, T_w[:3, 3],
+                                        cfg.map.voxel_planar,
+                                        cfg.map.crop_radius)
+    else:
+        edge_map, planar_map = carry.edge_map, carry.planar_map
+
+    # 8) Visual bookkeeping for the next frame: associate LiDAR depth at the
+    # tracked positions, then replenish free slots from fresh corners.
+    new_vision = carry.vision
+    if cfg.use_vision:
+        dgrid = depth_assoc.build_depth_grid(pts3, scan_mask, cam, cfg.vision)
+        dres = depth_assoc.associate(dgrid, table.uv, table.active, cam,
+                                     cfg.vision)
+        X_velo = se3.apply(se3.inv(cam.T_cam_velo)[None], dres.xyz_cam[None])[0]
+        table = table._replace(
+            prev_xyz_velo=jnp.where(dres.ok[:, None], X_velo,
+                                    table.prev_xyz_velo),
+            has_depth=dres.ok,
+        )
+        cns = corners_mod.detect(image, cfg.vision)
+        table = tracks_mod.replenish(table, cns, cfg.vision)
+        new_vision = VisionCarry(pyr=cur_pyr, grads=cur_grads, tracks=table)
+
+    new_carry = OdomCarry(
+        vision=new_vision,
+        T_w=T_w,
+        delta=delta_new,
+        prev_edges=edges_fix,
+        prev_edge_mask=tfeats.edge_mask,
+        prev_edge_ring=tfeats.edge_ring,
+        prev_planars=planars_fix,
+        prev_planar_mask=tfeats.planar_mask,
+        edge_map=edge_map,
+        planar_map=planar_map,
+        frame_idx=carry.frame_idx + 1,
+    )
+    result = FrameResult(
+        T_w=T_w, n_edge=diag.n_edge, n_planar=diag.n_planar,
+        cost=diag.cost, degenerate=diag.degenerate,
+    )
+    return new_carry, result
+
+
+@partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0,))
+def jit_step(carry, scan, scan_mask, cfg: VeloConfig, image=None, cam=None):
+    """Host-streaming entry: one compiled step with donated carry buffers."""
+    return step(carry, scan, scan_mask, cfg, image=image, cam=cam)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def run_scan(carry, scans, scan_masks, cfg: VeloConfig, images=None,
+             cam=None):
+    """Device-resident batch entry: lax.scan over (F, N_MAX, 4) frames."""
+
+    if images is None:
+        def body(c, frame):
+            s, m = frame
+            return step(c, s, m, cfg)
+
+        return jax.lax.scan(body, carry, (scans, scan_masks))
+
+    def body(c, frame):
+        s, m, im = frame
+        return step(c, s, m, cfg, image=im, cam=cam)
+
+    return jax.lax.scan(body, carry, (scans, scan_masks, images))
+
+
+def run_sequence_host(frames, cfg: VeloConfig, carry=None, cam=None):
+    """Stream numpy frames through the jitted step (C13 driver).
+
+    ``frames`` yields (scan, mask) or (scan, mask, image).
+    Returns (poses (F,4,4) numpy, diagnostics dict of numpy arrays).
+    """
+    if carry is None:
+        carry = init_carry(cfg)
+    poses, diags = [], []
+    for frame in frames:
+        scan, mask = frame[0], frame[1]
+        image = jnp.asarray(frame[2]) if len(frame) > 2 else None
+        carry, out = jit_step(carry, jnp.asarray(scan), jnp.asarray(mask),
+                              cfg, image=image, cam=cam)
+        poses.append(np.asarray(out.T_w))
+        diags.append((int(out.n_edge), int(out.n_planar), float(out.cost),
+                      bool(out.degenerate)))
+    n_e, n_p, cost, degen = zip(*diags)
+    return np.stack(poses), {
+        "n_edge": np.asarray(n_e),
+        "n_planar": np.asarray(n_p),
+        "cost": np.asarray(cost),
+        "degenerate": np.asarray(degen),
+    }
+
+
+def velo_to_cam_trajectory(poses_velo: np.ndarray,
+                           T_cam_velo: np.ndarray) -> np.ndarray:
+    """Convert world-from-velo poses to the KITTI cam0 eval convention
+    (first camera pose = identity)."""
+    T_cv = np.asarray(T_cam_velo, np.float64)
+    T_vc = np.linalg.inv(T_cv)
+    poses_cam = np.einsum("ij,fjk,kl->fil", T_cv, np.asarray(poses_velo, np.float64), T_vc)
+    return np.einsum("ij,fjk->fik", np.linalg.inv(poses_cam[0]), poses_cam)

@@ -1,0 +1,264 @@
+"""Outer ICP loops: scan-to-scan and scan-to-map joint solves (SURVEY.md §3.2/3.3).
+
+Structure mirrors the reference's defining LOAM/ICP shape — an outer loop that
+re-searches correspondences after each pose update, wrapping an inner LM solve
+— but every per-feature ``for`` loop is a batched fixed-shape tensor op:
+
+  outer fori (static cap):
+    p'   = T @ features                     (one batched transform)
+    nn   = voxel-hash 27-cell gather        (C9, no KD-tree)
+    geom = line through 2 pts on different rings / plane through 3 pts
+           (scan-to-scan)  |  PCA line/plane over k-NN (scan-to-map)
+    T    = LM(fixed correspondences)        (C12, masked fixed iters)
+
+The solved variable is ``T_target_cur``: it maps current-scan coordinates
+into the target frame (previous scan, or map/world).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from velo_tpu.config import SolverConfig
+from velo_tpu.geom import se3
+from velo_tpu.mapping import voxel_hash
+from velo_tpu.solve import residuals as res
+from velo_tpu.solve.lm import lm_solve
+
+_BIG = jnp.int32(10**6)
+_MIN_CORR = 20  # degenerate-frame gate: fewer inliers => keep the prior pose
+
+
+class SolveDiag(NamedTuple):
+    """Per-solve observability record (SURVEY.md §5 metrics plan)."""
+
+    n_edge: jnp.ndarray
+    n_planar: jnp.ndarray
+    cost: jnp.ndarray
+    degenerate: jnp.ndarray
+
+
+def _edge_lines_2pt(grid: voxel_hash.VoxelGrid, p: jnp.ndarray,
+                    mask: jnp.ndarray, cfg: SolverConfig):
+    """Nearest + nearest-on-a-different-ring target points for each edge."""
+    idx, dist, val = voxel_hash.knn(
+        grid, p, mask, k=6, max_dist=cfg.corr_max_dist,
+        occupancy=cfg.voxel_occupancy,
+    )
+    ring = grid.payload[idx][..., 0]  # (Q, k)
+    a_ok = val[:, 0]
+    ring_a = ring[:, 0]
+    diff = val & (ring != ring_a[:, None])
+    order = jnp.arange(idx.shape[1], dtype=jnp.int32)[None, :]
+    j_b = jnp.argmin(jnp.where(diff, order, _BIG), axis=1)
+    b_ok = jnp.any(diff, axis=1)
+    a = grid.pts[idx[:, 0]]
+    b = grid.pts[jnp.take_along_axis(idx, j_b[:, None], axis=1)[:, 0]]
+    return a, b, mask & a_ok & b_ok
+
+
+def _planar_planes_fit(grid: voxel_hash.VoxelGrid, p: jnp.ndarray,
+                       mask: jnp.ndarray, cfg: SolverConfig):
+    """Gated PCA plane over the k nearest target planar points.
+
+    A plane through the bare 3 nearest points is ill-conditioned whenever the
+    neighbors are near-collinear (common: planar features line up along one
+    laser ring), which produces arbitrary normals and measurably *biases* the
+    odometry objective — found via a cost-at-ground-truth probe.  The PCA fit
+    with LOAM-style eigenvalue + flatness gates rejects those configurations.
+    """
+    idx, dist, val = voxel_hash.knn(
+        grid, p, mask, k=cfg.map_knn, max_dist=cfg.corr_max_dist,
+        occupancy=cfg.voxel_occupancy,
+    )
+    pts = grid.pts[idx]  # (Q, k, 3)
+    n, d, ok = res.fit_plane_eig(pts, val)
+    return n, d, ok & mask & (val.sum(axis=1) >= 3)
+
+
+def _knn_points(grid: voxel_hash.VoxelGrid, p: jnp.ndarray, mask: jnp.ndarray,
+                k: int, cfg: SolverConfig):
+    idx, dist, val = voxel_hash.knn(
+        grid, p, mask, k=k, max_dist=cfg.corr_max_dist,
+        occupancy=cfg.voxel_occupancy,
+    )
+    return grid.pts[idx], val
+
+
+class VisData(NamedTuple):
+    """Depth-augmented visual tracks for the joint solve (SURVEY.md C8/C10).
+
+    Landmarks live in the *previous* velodyne frame (depth was associated
+    from the completed previous scan); observations are the KLT positions in
+    the current image.  The solved T maps current -> previous frame, so the
+    landmark is pulled back through T^-1 before projection.
+    """
+
+    xyz_prev_velo: jnp.ndarray  # (K, 3)
+    obs_uv: jnp.ndarray  # (K, 2)
+    mask: jnp.ndarray  # (K,)
+    P: jnp.ndarray  # (3, 4) camera projection
+    T_cam_velo: jnp.ndarray  # (4, 4)
+
+
+def make_lidar_system(edges, edge_mask, line_a, line_b, line_ok,
+                      planars, planar_mask, pl_n, pl_d, pl_ok,
+                      cfg: SolverConfig, vis: "VisData | None" = None):
+    """Closure: T -> (H, g, cost) for fixed lidar (+ visual) correspondences."""
+
+    def build(T):
+        pe = se3.apply(T[None], edges[None])[0]
+        re, dre, oke = res.point_to_line(pe, line_a, line_b,
+                                         line_ok & edge_mask)
+        we = res.huber_weight(re, cfg.huber_delta_icp) * oke
+        Je = jnp.einsum("ki,kij->kj", dre, res.point_jacobian(pe))
+
+        pp = se3.apply(T[None], planars[None])[0]
+        rp, drp, okp = res.point_to_plane(pp, pl_n, pl_d,
+                                          pl_ok & planar_mask)
+        wp = res.huber_weight(rp, cfg.huber_delta_icp) * okp
+        Jp = jnp.einsum("ki,kij->kj", drp, res.point_jacobian(pp))
+
+        H = jnp.einsum("ki,kj->ij", Je * we[:, None], Je) + jnp.einsum(
+            "ki,kj->ij", Jp * wp[:, None], Jp
+        )
+        g = Je.T @ (we * re) + Jp.T @ (wp * rp)
+        cost = jnp.sum(res.huber_cost(re, cfg.huber_delta_icp) * oke) + jnp.sum(
+            res.huber_cost(rp, cfg.huber_delta_icp) * okp
+        )
+
+        if vis is not None:
+            # Reprojection term: r = pi(P, T_cv T^-1 X_prev) - obs, with the
+            # left-perturbation chain  dX_cam/dxi = -R_cv R^T [I | -hat(X_prev)].
+            R = T[:3, :3]
+            Y = se3.apply(se3.inv(T)[None], vis.xyz_prev_velo[None])[0]
+            X_cam = se3.apply(vis.T_cam_velo[None], Y[None])[0]
+            rv, dr_dX, okv = res.reprojection(X_cam, vis.P, vis.obs_uv,
+                                              vis.mask)
+            A = -(vis.T_cam_velo[:3, :3] @ R.T)  # (3,3)
+            Jpt = res.point_jacobian(vis.xyz_prev_velo)  # (K,3,6)
+            dX_dxi = jnp.einsum("ij,kjl->kil", A, Jpt)  # (K,3,6)
+            Jv = jnp.einsum("kri,kil->krl", dr_dX, dX_dxi)  # (K,2,6)
+            rnorm = jnp.linalg.norm(rv, axis=-1)
+            wv = (
+                res.huber_weight(rnorm, cfg.huber_delta_repr)
+                * okv
+                * cfg.vis_weight
+            )
+            H = H + jnp.einsum("k,kri,krj->ij", wv, Jv, Jv)
+            g = g + jnp.einsum("k,kri,kr->i", wv, Jv, rv)
+            cost = cost + cfg.vis_weight * jnp.sum(
+                res.huber_cost(rnorm, cfg.huber_delta_repr) * okv
+            )
+        return H, g, cost
+
+    return build
+
+
+def _count_system(build, T):
+    H, g, cost = build(T)
+    return cost
+
+
+@partial(jax.jit, static_argnames=("cfg", "iters"))
+def solve_scan_to_scan(
+    cur_edges: jnp.ndarray,
+    cur_edge_mask: jnp.ndarray,
+    cur_planars: jnp.ndarray,
+    cur_planar_mask: jnp.ndarray,
+    edge_grid: voxel_hash.VoxelGrid,
+    planar_grid: voxel_hash.VoxelGrid,
+    T_init: jnp.ndarray,
+    cfg: SolverConfig,
+    iters: Optional[int] = None,
+    vis: Optional[VisData] = None,
+):
+    """LOAM odometry solve: current features vs previous-scan feature grids.
+
+    ``edge_grid.payload[:, 0]`` must carry ring indices (different-ring rule).
+    When ``vis`` is given, reprojection residuals join the cost (config 4,
+    the "vision-enhanced" joint solve).  Returns (T_target_cur, SolveDiag).
+    """
+    outer = cfg.icp_iters_odom if iters is None else iters
+
+    def outer_body(_, carry):
+        T, _diag = carry
+        pe = se3.apply(T[None], cur_edges[None])[0]
+        a, b, e_ok = _edge_lines_2pt(edge_grid, pe, cur_edge_mask, cfg)
+        pp = se3.apply(T[None], cur_planars[None])[0]
+        n, d, p_ok = _planar_planes_fit(planar_grid, pp, cur_planar_mask, cfg)
+
+        build = make_lidar_system(
+            cur_edges, cur_edge_mask, a, b, e_ok,
+            cur_planars, cur_planar_mask, n, d, p_ok, cfg, vis=vis,
+        )
+        n_e = jnp.sum(e_ok)
+        n_p = jnp.sum(p_ok)
+        enough = (n_e + n_p) >= _MIN_CORR
+        T_new, st = lm_solve(build, T, cfg)
+        T_out = jnp.where(enough, T_new, T)
+        diag = SolveDiag(n_edge=n_e, n_planar=n_p, cost=st.cost,
+                         degenerate=~enough)
+        return (T_out, diag)
+
+    diag0 = SolveDiag(
+        n_edge=jnp.int32(0), n_planar=jnp.int32(0),
+        cost=jnp.float32(0.0), degenerate=jnp.asarray(False),
+    )
+    T_fin, diag = jax.lax.fori_loop(0, outer, outer_body, (T_init, diag0))
+    return T_fin, diag
+
+
+@partial(jax.jit, static_argnames=("cfg", "iters"))
+def solve_scan_to_map(
+    cur_edges: jnp.ndarray,
+    cur_edge_mask: jnp.ndarray,
+    cur_planars: jnp.ndarray,
+    cur_planar_mask: jnp.ndarray,
+    edge_grid: voxel_hash.VoxelGrid,
+    planar_grid: voxel_hash.VoxelGrid,
+    T_init: jnp.ndarray,
+    cfg: SolverConfig,
+    iters: Optional[int] = None,
+):
+    """LOAM mapping solve: eigen line/plane fits over k-NN in the local map."""
+    outer = cfg.icp_iters_map if iters is None else iters
+    k = cfg.map_knn
+
+    def outer_body(_, carry):
+        T, _diag = carry
+        pe = se3.apply(T[None], cur_edges[None])[0]
+        e_pts, e_val = _knn_points(edge_grid, pe, cur_edge_mask, k, cfg)
+        mu, direction, l_ok = res.fit_line_eig(e_pts, e_val)
+        # Two virtual points on the fitted line.
+        a = mu - 0.1 * direction
+        b = mu + 0.1 * direction
+        e_ok = l_ok & cur_edge_mask
+
+        pp = se3.apply(T[None], cur_planars[None])[0]
+        p_pts, p_val = _knn_points(planar_grid, pp, cur_planar_mask, k, cfg)
+        n, d, pl_ok = res.fit_plane_eig(p_pts, p_val)
+        p_ok = pl_ok & cur_planar_mask
+
+        build = make_lidar_system(
+            cur_edges, cur_edge_mask, a, b, e_ok,
+            cur_planars, cur_planar_mask, n, d, p_ok, cfg,
+        )
+        n_e = jnp.sum(e_ok)
+        n_p = jnp.sum(p_ok)
+        enough = (n_e + n_p) >= _MIN_CORR
+        T_new, st = lm_solve(build, T, cfg)
+        T_out = jnp.where(enough, T_new, T)
+        diag = SolveDiag(n_edge=n_e, n_planar=n_p, cost=st.cost,
+                         degenerate=~enough)
+        return (T_out, diag)
+
+    diag0 = SolveDiag(
+        n_edge=jnp.int32(0), n_planar=jnp.int32(0),
+        cost=jnp.float32(0.0), degenerate=jnp.asarray(False),
+    )
+    T_fin, diag = jax.lax.fori_loop(0, outer, outer_body, (T_init, diag0))
+    return T_fin, diag

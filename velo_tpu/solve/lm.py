@@ -1,0 +1,88 @@
+"""Batched 6-DoF Levenberg-Marquardt on SE(3) (SURVEY.md C12).
+
+Replaces Ceres: a dense-normal-equations LM with Jacobi scaling and an
+accept/reject damping schedule, as a *fixed-iteration* masked loop — the
+reference iterates "until converged", the TPU rebuild runs a static cap with
+a convergence mask so the whole solve is one compiled region of constant
+shape (SURVEY.md §7 hard-part 3).
+
+The caller supplies ``build_system(T) -> (H, g, cost)`` where H = J^T W J
+(6x6), g = J^T W r (6,), both already masked/robust-weighted.  Everything
+here is tiny linear algebra; its cost on TPU is negligible next to the
+correspondence gather, which is why re-linearizing every iteration (rather
+than caching J on rejected steps) is the right trade.
+"""
+from __future__ import annotations
+
+from typing import Callable, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from velo_tpu.config import SolverConfig
+from velo_tpu.geom import se3
+
+
+class LMState(NamedTuple):
+    T: jnp.ndarray  # (4,4) current pose estimate
+    lam: jnp.ndarray  # damping
+    cost: jnp.ndarray  # cost at T
+    converged: jnp.ndarray  # bool mask: stop updating (delta below tol)
+    last_delta: jnp.ndarray  # |delta| of the last accepted step
+
+
+def lm_solve(
+    build_system: Callable[[jnp.ndarray], Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]],
+    T0: jnp.ndarray,
+    cfg: SolverConfig,
+    iters: int | None = None,
+) -> Tuple[jnp.ndarray, LMState]:
+    """Run masked fixed-iteration LM from T0; returns (T_opt, final state)."""
+    iters = cfg.lm_iters if iters is None else iters
+
+    def cost_only(T):
+        return build_system(T)[2]
+
+    def body(_, st: LMState) -> LMState:
+        H, g, cost = build_system(st.T)
+        # Jacobi scaling: solve in units of sqrt(diag(H)) for conditioning
+        # (float32-safe on near-degenerate geometry, SURVEY.md §7 hard-part 5).
+        D = jnp.sqrt(jnp.diagonal(H) + 1e-8)
+        Hs = H / (D[:, None] * D[None, :])
+        gs = g / D
+        A = Hs + st.lam * jnp.eye(6, dtype=H.dtype) + 1e-7 * jnp.eye(6, dtype=H.dtype)
+        L = jnp.linalg.cholesky(A)
+        delta_s = jax.scipy.linalg.cho_solve((L, True), -gs)
+        delta = delta_s / D
+        # Guard: a failed factorization (NaN) must not poison the pose.
+        bad = ~jnp.all(jnp.isfinite(delta))
+        delta = jnp.where(bad, 0.0, delta)
+
+        T_try = se3.exp(delta) @ st.T
+        cost_try = cost_only(T_try)
+        accept = (cost_try < cost) & ~bad & ~st.converged
+
+        T_new = jnp.where(accept, T_try, st.T)
+        lam_new = jnp.where(
+            accept, st.lam * cfg.lm_lambda_down, st.lam * cfg.lm_lambda_up
+        )
+        lam_new = jnp.clip(lam_new, 1e-9, 1e6)
+        step = jnp.linalg.norm(delta)
+        converged = st.converged | (accept & (step < cfg.converge_tol))
+        return LMState(
+            T=T_new,
+            lam=jnp.where(st.converged, st.lam, lam_new),
+            cost=jnp.where(accept, cost_try, cost),
+            converged=converged,
+            last_delta=jnp.where(accept, step, st.last_delta),
+        )
+
+    init = LMState(
+        T=T0,
+        lam=jnp.asarray(cfg.lm_lambda_init, T0.dtype),
+        cost=cost_only(T0),
+        converged=jnp.asarray(False),
+        last_delta=jnp.asarray(jnp.inf, T0.dtype),
+    )
+    out = jax.lax.fori_loop(0, iters, body, init)
+    return out.T, out

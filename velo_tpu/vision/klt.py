@@ -1,0 +1,117 @@
+"""Pyramidal Lucas-Kanade tracking (SURVEY.md C7), inverse-compositional.
+
+Replaces OpenCV ``calcOpticalFlowPyrLK``.  All K features are tracked at once:
+per pyramid level (coarse to fine) the inverse-compositional Gauss-Newton
+iteration runs a fixed number of steps —
+
+  template   = patch of the *previous* image at the feature (fixed per level)
+  grads      = Scharr gradients of the previous level (fixed => the 2x2
+               normal matrix G and its inverse are computed once per level)
+  iterate:     e = sample(cur, pos) - template ; d = G^-1 Σ grad*e ; pos += d
+
+— as batched (K, P) bilinear gathers, a ``fori_loop`` over iterations, and a
+Python loop over the (static) levels.  A forward-backward consistency check
+provides the tracking-failure gate the reference gets from OpenCV's err/status
+outputs.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from velo_tpu.config import VisionConfig
+from velo_tpu.vision import pyramid as pyr
+
+
+class TrackResult(NamedTuple):
+    uv: jnp.ndarray  # (K, 2) tracked positions in the current image
+    ok: jnp.ndarray  # (K,) tracked successfully (converged, in-bounds, fb)
+    fb_err: jnp.ndarray  # (K,) forward-backward error in px
+
+
+def _track_level(img_prev, gx_prev, gy_prev, img_cur, uv_prev, uv_cur, offs,
+                 iters: int):
+    """One pyramid level of IC-LK for all features. Returns (uv_cur, ok)."""
+    # Fixed template + gradients at the previous-image feature location.
+    pts = uv_prev[:, None, :] + offs[None, :, :]  # (K, P, 2)
+    tmpl, t_in = pyr.bilinear_sample(img_prev, pts)
+    gx, _ = pyr.bilinear_sample(gx_prev, pts)
+    gy, _ = pyr.bilinear_sample(gy_prev, pts)
+    ok = jnp.all(t_in, axis=1)
+
+    gxx = jnp.sum(gx * gx, axis=1)
+    gxy = jnp.sum(gx * gy, axis=1)
+    gyy = jnp.sum(gy * gy, axis=1)
+    det = gxx * gyy - gxy * gxy
+    ok = ok & (det > 1e-9)
+    safe_det = jnp.where(det > 1e-9, det, 1.0)
+    # Inverse of the 2x2 normal matrix, per feature.
+    inv00 = gyy / safe_det
+    inv01 = -gxy / safe_det
+    inv11 = gxx / safe_det
+
+    def body(_, uv):
+        cur_pts = uv[:, None, :] + offs[None, :, :]
+        cur, c_in = pyr.bilinear_sample(img_cur, cur_pts)
+        e = cur - tmpl
+        bx = jnp.sum(gx * e, axis=1)
+        by = jnp.sum(gy * e, axis=1)
+        dx = inv00 * bx + inv01 * by
+        dy = inv01 * bx + inv11 * by
+        d = jnp.stack([dx, dy], axis=-1)
+        # Inverse-compositional update: move against the error.
+        step_ok = (ok & jnp.all(c_in, axis=1))[:, None]
+        return uv - jnp.where(step_ok, d, 0.0)
+
+    uv_out = jax.lax.fori_loop(0, iters, body, uv_cur)
+    H, W = img_cur.shape
+    inb = (
+        (uv_out[:, 0] >= 1)
+        & (uv_out[:, 0] <= W - 2)
+        & (uv_out[:, 1] >= 1)
+        & (uv_out[:, 1] <= H - 2)
+    )
+    return uv_out, ok & inb
+
+
+def track_pyramid(prev_pyr, cur_pyr, prev_grads, uv0, valid,
+                  cfg: VisionConfig):
+    """Track features from the previous to the current pyramid.
+
+    prev_grads: tuple of (gx, gy) per level (precomputed once per frame and
+    reused by both the forward and backward passes of the FB check).
+    Initial guess: same position (coarsest level absorbs large motion).
+    """
+    levels = cfg.pyr_levels
+    offs = pyr.patch_offsets(cfg.klt_halfwin)
+    scale = 2.0 ** (levels - 1)
+    uv = uv0 / scale
+    ok = valid
+    for lv in range(levels - 1, -1, -1):
+        gx, gy = prev_grads[lv]
+        uv, lok = _track_level(
+            prev_pyr[lv], gx, gy, cur_pyr[lv], uv0 / (2.0**lv), uv, offs,
+            cfg.klt_iters,
+        )
+        ok = ok & lok
+        if lv > 0:
+            uv = uv * 2.0
+    return uv, ok
+
+
+def track(prev_pyr, cur_pyr, prev_grads, cur_grads, uv0, valid,
+          cfg: VisionConfig) -> TrackResult:
+    """Forward track + backward consistency check."""
+    uv_f, ok_f = track_pyramid(prev_pyr, cur_pyr, prev_grads, uv0, valid, cfg)
+    uv_b, ok_b = track_pyramid(cur_pyr, prev_pyr, cur_grads, uv_f,
+                               valid & ok_f, cfg)
+    fb = jnp.linalg.norm(uv_b - uv0, axis=-1)
+    ok = valid & ok_f & ok_b & (fb < cfg.fb_max_err)
+    return TrackResult(uv=uv_f, ok=ok, fb_err=fb)
+
+
+def frame_gradients(img_pyr):
+    """Per-level Scharr gradients for one pyramid (reused fwd/bwd)."""
+    return tuple(pyr.scharr_gradients(im) for im in img_pyr)

@@ -1,0 +1,82 @@
+"""Image pyramid + bilinear patch sampling — shared by corners/KLT.
+
+Pure-JAX building blocks for the visual front-end.  Images are float32
+(H, W) in [0, 1]; pyramids are tuples of static-shape levels (one compile per
+image size).  The bilinear gather is the hot primitive of KLT: it samples
+(K, P) patch points with 4 flat gathers + lerp, fully batched over features.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def blur3(img: jnp.ndarray) -> jnp.ndarray:
+    """Separable [1 2 1]/4 binomial blur (edge-clamped)."""
+    p = jnp.pad(img, ((1, 1), (1, 1)), mode="edge")
+    h = (p[1:-1, :-2] + 2.0 * p[1:-1, 1:-1] + p[1:-1, 2:]) * 0.25
+    p2 = jnp.pad(h, ((1, 1), (0, 0)), mode="edge")
+    return (p2[:-2] + 2.0 * p2[1:-1] + p2[2:]) * 0.25
+
+
+def downsample2(img: jnp.ndarray) -> jnp.ndarray:
+    """Antialiased 2x downsample (blur then stride)."""
+    b = blur3(img)
+    return b[::2, ::2]
+
+
+def build_pyramid(img: jnp.ndarray, levels: int):
+    """Tuple of (H/2^l, W/2^l) images, level 0 = full resolution."""
+    out = [img]
+    for _ in range(levels - 1):
+        out.append(downsample2(out[-1]))
+    return tuple(out)
+
+
+def scharr_gradients(img: jnp.ndarray):
+    """Scharr 3x3 x/y gradients (edge-clamped), returned as (Ix, Iy)."""
+    p = jnp.pad(img, ((1, 1), (1, 1)), mode="edge")
+    # Scharr: d = [-1 0 1] smoothing s = [3 10 3] / 16
+    gx = (
+        3.0 * (p[:-2, 2:] - p[:-2, :-2])
+        + 10.0 * (p[1:-1, 2:] - p[1:-1, :-2])
+        + 3.0 * (p[2:, 2:] - p[2:, :-2])
+    ) / 32.0
+    gy = (
+        3.0 * (p[2:, :-2] - p[:-2, :-2])
+        + 10.0 * (p[2:, 1:-1] - p[:-2, 1:-1])
+        + 3.0 * (p[2:, 2:] - p[:-2, 2:])
+    ) / 32.0
+    return gx, gy
+
+
+def bilinear_sample(img: jnp.ndarray, xy: jnp.ndarray):
+    """Sample img at float (…, 2) pixel coords (x, y) with border clamping.
+
+    Returns (values (…,), in_bounds (…,)) — out-of-bounds samples are clamped
+    but flagged so callers can invalidate features that left the image.
+    """
+    H, W = img.shape
+    x = xy[..., 0]
+    y = xy[..., 1]
+    inb = (x >= 0) & (x <= W - 1) & (y >= 0) & (y <= H - 1)
+    x = jnp.clip(x, 0.0, W - 1.001)
+    y = jnp.clip(y, 0.0, H - 1.001)
+    x0 = jnp.floor(x).astype(jnp.int32)
+    y0 = jnp.floor(y).astype(jnp.int32)
+    fx = x - x0
+    fy = y - y0
+    flat = img.reshape(-1)
+    i00 = flat[y0 * W + x0]
+    i01 = flat[y0 * W + x0 + 1]
+    i10 = flat[(y0 + 1) * W + x0]
+    i11 = flat[(y0 + 1) * W + x0 + 1]
+    top = i00 * (1 - fx) + i01 * fx
+    bot = i10 * (1 - fx) + i11 * fx
+    return top * (1 - fy) + bot * fy, inb
+
+
+def patch_offsets(halfwin: int) -> jnp.ndarray:
+    """((2h+1)^2, 2) integer offsets of a square patch, (x, y) order."""
+    r = jnp.arange(-halfwin, halfwin + 1, dtype=jnp.float32)
+    oy, ox = jnp.meshgrid(r, r, indexing="ij")
+    return jnp.stack([ox.reshape(-1), oy.reshape(-1)], axis=-1)
