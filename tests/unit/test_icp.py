@@ -2,9 +2,10 @@
 import jax.numpy as jnp
 import numpy as np
 
+import pytest
+
 from velo_tpu.config import SolverConfig
 from velo_tpu.geom import se3
-from velo_tpu.mapping import voxel_hash
 from velo_tpu.solve import icp
 
 
@@ -36,7 +37,8 @@ def synthetic_scene(rng, n_lines=12, pts_per_line=14, n_planes=10,
     return edge_pts, edge_rings, planar_pts
 
 
-def test_scan_to_scan_recovers_pose():
+@pytest.mark.parametrize("engine", ["dense", "hash"])
+def test_scan_to_scan_recovers_pose(engine):
     rng = np.random.default_rng(77)  # own rng: scene must not depend on test order
     edge_pts, edge_rings, planar_pts = synthetic_scene(rng)
     xi_true = np.array([0.4, -0.25, 0.1, 0.015, -0.01, 0.04], np.float32)
@@ -46,27 +48,27 @@ def test_scan_to_scan_recovers_pose():
     cur_edges = se3.apply(se3.inv(T_true)[None], jnp.asarray(edge_pts)[None])[0]
     cur_planars = se3.apply(se3.inv(T_true)[None], jnp.asarray(planar_pts)[None])[0]
 
-    cfg = SolverConfig()
-    edge_grid = voxel_hash.build_grid(
+    cfg = SolverConfig(nn_engine=engine)
+    edge_targets = icp.make_targets(
         jnp.asarray(edge_pts), jnp.ones(len(edge_pts), dtype=bool),
-        cfg.voxel_size, payload=jnp.asarray(edge_rings)[:, None],
+        payload=jnp.asarray(edge_rings)[:, None],
     )
-    planar_grid = voxel_hash.build_grid(
-        jnp.asarray(planar_pts), jnp.ones(len(planar_pts), dtype=bool),
-        cfg.voxel_size,
+    planar_targets = icp.make_targets(
+        jnp.asarray(planar_pts), jnp.ones(len(planar_pts), dtype=bool)
     )
 
     T_est, diag = icp.solve_scan_to_scan(
         cur_edges, jnp.ones(len(edge_pts), dtype=bool),
         cur_planars, jnp.ones(len(planar_pts), dtype=bool),
-        edge_grid, planar_grid, se3.identity(), cfg,
+        edge_targets, planar_targets, se3.identity(), cfg,
     )
     err = np.linalg.norm(np.asarray(se3.log(se3.inv(T_true) @ T_est)))
     assert err < 1e-2, (err, np.asarray(diag.n_edge), np.asarray(diag.n_planar))
     assert int(diag.n_edge) > 50 and int(diag.n_planar) > 100
 
 
-def test_scan_to_map_recovers_pose():
+@pytest.mark.parametrize("engine", ["dense", "hash"])
+def test_scan_to_map_recovers_pose(engine):
     rng = np.random.default_rng(78)
     edge_pts, edge_rings, planar_pts = synthetic_scene(rng)
     xi_true = np.array([0.2, 0.15, -0.1, -0.01, 0.02, 0.02], np.float32)
@@ -74,18 +76,17 @@ def test_scan_to_map_recovers_pose():
     cur_edges = se3.apply(se3.inv(T_true)[None], jnp.asarray(edge_pts)[None])[0]
     cur_planars = se3.apply(se3.inv(T_true)[None], jnp.asarray(planar_pts)[None])[0]
 
-    cfg = SolverConfig()
-    edge_grid = voxel_hash.build_grid(
-        jnp.asarray(edge_pts), jnp.ones(len(edge_pts), dtype=bool), cfg.voxel_size
+    cfg = SolverConfig(nn_engine=engine)
+    edge_targets = icp.make_targets(
+        jnp.asarray(edge_pts), jnp.ones(len(edge_pts), dtype=bool)
     )
-    planar_grid = voxel_hash.build_grid(
-        jnp.asarray(planar_pts), jnp.ones(len(planar_pts), dtype=bool),
-        cfg.voxel_size,
+    planar_targets = icp.make_targets(
+        jnp.asarray(planar_pts), jnp.ones(len(planar_pts), dtype=bool)
     )
     T_est, diag = icp.solve_scan_to_map(
         cur_edges, jnp.ones(len(edge_pts), dtype=bool),
         cur_planars, jnp.ones(len(planar_pts), dtype=bool),
-        edge_grid, planar_grid, se3.identity(), cfg,
+        edge_targets, planar_targets, se3.identity(), cfg,
     )
     err = np.linalg.norm(np.asarray(se3.log(se3.inv(T_true) @ T_est)))
     assert err < 1e-2, err
@@ -96,12 +97,12 @@ def test_degenerate_frame_keeps_prior():
     """Too few correspondences => pose must stay at the prior (recoverable)."""
     cfg = SolverConfig()
     pts = jnp.asarray(rng.normal(size=(8, 3)).astype(np.float32))
-    grid = voxel_hash.build_grid(pts, jnp.zeros(8, dtype=bool), cfg.voxel_size,
-                                 payload=jnp.zeros((8, 1), jnp.int32))
+    targets = icp.make_targets(pts, jnp.zeros(8, dtype=bool),
+                               payload=jnp.zeros((8, 1), jnp.int32))
     T0 = se3.exp(jnp.asarray([1.0, 0, 0, 0, 0, 0.1], jnp.float32))
     T_est, diag = icp.solve_scan_to_scan(
         pts, jnp.ones(8, dtype=bool), pts, jnp.ones(8, dtype=bool),
-        grid, grid, T0, cfg,
+        targets, targets, T0, cfg,
     )
     np.testing.assert_allclose(np.asarray(T_est), np.asarray(T0), atol=1e-7)
     assert bool(diag.degenerate)

@@ -97,3 +97,34 @@ def test_voxel_downsample(rng):
     mask[:75] = False
     keep2 = voxel_hash.voxel_downsample(jnp.asarray(pts), jnp.asarray(mask), 1.0)
     assert not np.asarray(keep2)[:75].any()
+
+
+def test_dense_nn_matches_kdtree(rng):
+    """MXU brute-force engine vs scipy cKDTree (same contract as hash knn)."""
+    from velo_tpu.mapping import dense_nn
+
+    pts = random_cloud(rng, 3000)
+    queries = random_cloud(rng, 256)
+    mask = rng.random(3000) > 0.3
+    targets = dense_nn.make_targets(jnp.asarray(pts), jnp.asarray(mask))
+    idx, dist, valid = dense_nn.knn(
+        targets, jnp.asarray(queries), jnp.ones(256, dtype=bool), k=3,
+        max_dist=2.0,
+    )
+    tree = cKDTree(pts[mask])
+    d_ref, _ = tree.query(queries, k=3, distance_upper_bound=2.0)
+    got = np.where(np.asarray(valid), np.asarray(dist), np.inf)
+    np.testing.assert_allclose(
+        np.sort(got, axis=1), np.sort(d_ref, axis=1), atol=1e-3
+    )
+
+
+def test_dense_nn_masked_queries(rng):
+    from velo_tpu.mapping import dense_nn
+
+    pts = random_cloud(rng, 100, extent=2.0)
+    targets = dense_nn.make_targets(jnp.asarray(pts),
+                                    jnp.ones(100, dtype=bool))
+    _, _, valid = dense_nn.knn(targets, jnp.asarray(pts[:10]),
+                               jnp.zeros(10, dtype=bool), k=2, max_dist=5.0)
+    assert not np.asarray(valid).any()

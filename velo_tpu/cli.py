@@ -104,12 +104,26 @@ def main(argv=None):
         ) if use_vision else None
 
         def gen():
-            for i in range(n):
-                scan, mask = seq.scan(i)
-                if use_vision:
-                    yield scan, mask, seq.image(i)
-                else:
-                    yield scan, mask
+            # Prefer the native async prefetch loader (C1); fall back to the
+            # synchronous Python reader when no compiler is available.
+            try:
+                from velo_tpu.io.native_loader import NativeScanLoader
+
+                loader = NativeScanLoader(seq.velo_dir, cfg.n_max_points)
+                for i, (scan, mask) in enumerate(loader):
+                    if i >= n:
+                        break
+                    if use_vision:
+                        yield scan, mask, seq.image(i)
+                    else:
+                        yield scan, mask
+            except (RuntimeError, FileNotFoundError):
+                for i in range(n):
+                    scan, mask = seq.scan(i)
+                    if use_vision:
+                        yield scan, mask, seq.image(i)
+                    else:
+                        yield scan, mask
 
         frames = gen()
         gt_cam = seq.gt_poses[:n] if seq.gt_poses is not None else None

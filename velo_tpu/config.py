@@ -64,6 +64,7 @@ class VisionConfig:
 class SolverConfig:
     """Correspondence + joint LM solve (C9/C10/C12)."""
 
+    nn_engine: str = "dense"  # "dense" (MXU matmul top-k) | "hash" (C9 grid)
     voxel_size: float = 1.0  # correspondence voxel-hash cell (m)
     hash_capacity: int = 8192  # voxel table slots (power of two)
     voxel_occupancy: int = 8  # max points stored per voxel

@@ -137,16 +137,15 @@ def step(carry: OdomCarry, scan: jnp.ndarray, scan_mask: jnp.ndarray,
         )
 
     # 3) Scan-to-scan joint solve vs previous features (+ visual residuals).
-    edge_grid = voxel_hash.build_grid(
-        carry.prev_edges, carry.prev_edge_mask, sc.voxel_size,
+    edge_targets = icp.make_targets(
+        carry.prev_edges, carry.prev_edge_mask,
         payload=carry.prev_edge_ring[:, None],
     )
-    planar_grid = voxel_hash.build_grid(
-        carry.prev_planars, carry.prev_planar_mask, sc.voxel_size
-    )
+    planar_targets = icp.make_targets(carry.prev_planars,
+                                      carry.prev_planar_mask)
     T_rel, diag = icp.solve_scan_to_scan(
         feats.edges, feats.edge_mask, feats.planars, feats.planar_mask,
-        edge_grid, planar_grid, se3.exp(carry.delta), sc, vis=vis_data,
+        edge_targets, planar_targets, se3.exp(carry.delta), sc, vis=vis_data,
     )
     # Deskew/solve fixed point: the first solve ran on features deskewed with
     # the *predicted* motion; re-correct them with the solved motion and solve
@@ -177,7 +176,7 @@ def step(carry: OdomCarry, scan: jnp.ndarray, scan_mask: jnp.ndarray,
         )
         T_rel, diag = icp.solve_scan_to_scan(
             feats.edges, feats.edge_mask, feats.planars, feats.planar_mask,
-            edge_grid, planar_grid, T_rel, sc, vis=vis_data,
+            edge_targets, planar_targets, T_rel, sc, vis=vis_data,
         )
         # From here on the features are corrected relative to delta1.
         deskew_ref = delta1
@@ -187,15 +186,15 @@ def step(carry: OdomCarry, scan: jnp.ndarray, scan_mask: jnp.ndarray,
 
     # 4) Scan-to-map refinement against the local map (config >= 2).
     if cfg.use_map:
-        center = T_w[:3, 3]
-        e_grid = local_map.to_grid(carry.edge_map, center, sc.voxel_size)
-        p_grid = local_map.to_grid(carry.planar_map, center, sc.voxel_size)
+        e_targets = icp.make_targets(carry.edge_map.pts, carry.edge_map.mask)
+        p_targets = icp.make_targets(carry.planar_map.pts,
+                                     carry.planar_map.mask)
         has_map = jnp.sum(carry.edge_map.mask) + jnp.sum(
             carry.planar_map.mask
         ) > 100
         T_map, diag_m = icp.solve_scan_to_map(
             feats.edges, feats.edge_mask, feats.planars, feats.planar_mask,
-            e_grid, p_grid, T_w, sc,
+            e_targets, p_targets, T_w, sc,
         )
         T_w = jnp.where(has_map & ~diag_m.degenerate, T_map, T_w)
 

@@ -6,10 +6,16 @@ re-searches correspondences after each pose update, wrapping an inner LM solve
 
   outer fori (static cap):
     p'   = T @ features                     (one batched transform)
-    nn   = voxel-hash 27-cell gather        (C9, no KD-tree)
+    nn   = MXU distance-matmul top-k (default) or voxel-hash gather (C9)
     geom = line through 2 pts on different rings / plane through 3 pts
            (scan-to-scan)  |  PCA line/plane over k-NN (scan-to-map)
     T    = LM(fixed correspondences)        (C12, masked fixed iters)
+
+Correspondence targets are plain fixed-shape clouds (``dense_nn.TargetSet``);
+``SolverConfig.nn_engine`` selects the search engine: "dense" routes the
+search through the systolic array (the fast path for the bounded target sets
+this pipeline guarantees), "hash" uses the voxel-hash grid (C9, scalable and
+the exactness oracle).
 
 The solved variable is ``T_target_cur``: it maps current-scan coordinates
 into the target frame (previous scan, or map/world).
@@ -24,7 +30,8 @@ import jax.numpy as jnp
 
 from velo_tpu.config import SolverConfig
 from velo_tpu.geom import se3
-from velo_tpu.mapping import voxel_hash
+from velo_tpu.mapping import dense_nn, voxel_hash
+from velo_tpu.mapping.dense_nn import TargetSet, make_targets  # re-export
 from velo_tpu.solve import residuals as res
 from velo_tpu.solve.lm import lm_solve
 
@@ -41,53 +48,6 @@ class SolveDiag(NamedTuple):
     degenerate: jnp.ndarray
 
 
-def _edge_lines_2pt(grid: voxel_hash.VoxelGrid, p: jnp.ndarray,
-                    mask: jnp.ndarray, cfg: SolverConfig):
-    """Nearest + nearest-on-a-different-ring target points for each edge."""
-    idx, dist, val = voxel_hash.knn(
-        grid, p, mask, k=6, max_dist=cfg.corr_max_dist,
-        occupancy=cfg.voxel_occupancy,
-    )
-    ring = grid.payload[idx][..., 0]  # (Q, k)
-    a_ok = val[:, 0]
-    ring_a = ring[:, 0]
-    diff = val & (ring != ring_a[:, None])
-    order = jnp.arange(idx.shape[1], dtype=jnp.int32)[None, :]
-    j_b = jnp.argmin(jnp.where(diff, order, _BIG), axis=1)
-    b_ok = jnp.any(diff, axis=1)
-    a = grid.pts[idx[:, 0]]
-    b = grid.pts[jnp.take_along_axis(idx, j_b[:, None], axis=1)[:, 0]]
-    return a, b, mask & a_ok & b_ok
-
-
-def _planar_planes_fit(grid: voxel_hash.VoxelGrid, p: jnp.ndarray,
-                       mask: jnp.ndarray, cfg: SolverConfig):
-    """Gated PCA plane over the k nearest target planar points.
-
-    A plane through the bare 3 nearest points is ill-conditioned whenever the
-    neighbors are near-collinear (common: planar features line up along one
-    laser ring), which produces arbitrary normals and measurably *biases* the
-    odometry objective — found via a cost-at-ground-truth probe.  The PCA fit
-    with LOAM-style eigenvalue + flatness gates rejects those configurations.
-    """
-    idx, dist, val = voxel_hash.knn(
-        grid, p, mask, k=cfg.map_knn, max_dist=cfg.corr_max_dist,
-        occupancy=cfg.voxel_occupancy,
-    )
-    pts = grid.pts[idx]  # (Q, k, 3)
-    n, d, ok = res.fit_plane_eig(pts, val)
-    return n, d, ok & mask & (val.sum(axis=1) >= 3)
-
-
-def _knn_points(grid: voxel_hash.VoxelGrid, p: jnp.ndarray, mask: jnp.ndarray,
-                k: int, cfg: SolverConfig):
-    idx, dist, val = voxel_hash.knn(
-        grid, p, mask, k=k, max_dist=cfg.corr_max_dist,
-        occupancy=cfg.voxel_occupancy,
-    )
-    return grid.pts[idx], val
-
-
 class VisData(NamedTuple):
     """Depth-augmented visual tracks for the joint solve (SURVEY.md C8/C10).
 
@@ -102,6 +62,64 @@ class VisData(NamedTuple):
     mask: jnp.ndarray  # (K,)
     P: jnp.ndarray  # (3, 4) camera projection
     T_cam_velo: jnp.ndarray  # (4, 4)
+
+
+def _make_engine(targets: TargetSet, cfg: SolverConfig):
+    """Static dispatch on cfg.nn_engine -> (query_fn, pts, payload)."""
+    if cfg.nn_engine == "hash":
+        # Center the packed voxel keys on the cloud so world-frame maps stay
+        # within the +/-511-cell key window (targets are crop_radius-bounded).
+        w = targets.mask.astype(targets.pts.dtype)
+        center = jnp.sum(targets.pts * w[:, None], axis=0) / jnp.maximum(
+            jnp.sum(w), 1.0
+        )
+        grid = voxel_hash.build_grid(
+            targets.pts, targets.mask, cfg.voxel_size,
+            center=center, payload=targets.payload,
+        )
+
+        def query(p, mask, k):
+            return voxel_hash.knn(grid, p, mask, k=k,
+                                  max_dist=cfg.corr_max_dist,
+                                  occupancy=cfg.voxel_occupancy)
+
+        return query, grid.pts, grid.payload
+
+    def query(p, mask, k):
+        return dense_nn.knn(targets, p, mask, k=k,
+                            max_dist=cfg.corr_max_dist)
+
+    return query, targets.pts, targets.payload
+
+
+def _edge_lines_2pt(query, pts, payload, p, mask):
+    """Nearest + nearest-on-a-different-ring target points for each edge."""
+    idx, dist, val = query(p, mask, 6)
+    ring = payload[idx][..., 0]  # (Q, k)
+    a_ok = val[:, 0]
+    ring_a = ring[:, 0]
+    diff = val & (ring != ring_a[:, None])
+    order = jnp.arange(idx.shape[1], dtype=jnp.int32)[None, :]
+    j_b = jnp.argmin(jnp.where(diff, order, _BIG), axis=1)
+    b_ok = jnp.any(diff, axis=1)
+    a = pts[idx[:, 0]]
+    b = pts[jnp.take_along_axis(idx, j_b[:, None], axis=1)[:, 0]]
+    return a, b, mask & a_ok & b_ok
+
+
+def _planar_planes_fit(query, pts, p, mask, k):
+    """Gated PCA plane over the k nearest target planar points.
+
+    A plane through the bare 3 nearest points is ill-conditioned whenever the
+    neighbors are near-collinear (common: planar features line up along one
+    laser ring), which produces arbitrary normals and measurably *biases* the
+    odometry objective — found via a cost-at-ground-truth probe.  The PCA fit
+    with LOAM-style eigenvalue + flatness gates rejects those configurations.
+    """
+    idx, dist, val = query(p, mask, k)
+    npts = pts[idx]  # (Q, k, 3)
+    n, d, ok = res.fit_plane_eig(npts, val)
+    return n, d, ok & mask & (val.sum(axis=1) >= 3)
 
 
 def make_lidar_system(edges, edge_mask, line_a, line_b, line_ok,
@@ -158,38 +176,37 @@ def make_lidar_system(edges, edge_mask, line_a, line_b, line_ok,
     return build
 
 
-def _count_system(build, T):
-    H, g, cost = build(T)
-    return cost
-
-
 @partial(jax.jit, static_argnames=("cfg", "iters"))
 def solve_scan_to_scan(
     cur_edges: jnp.ndarray,
     cur_edge_mask: jnp.ndarray,
     cur_planars: jnp.ndarray,
     cur_planar_mask: jnp.ndarray,
-    edge_grid: voxel_hash.VoxelGrid,
-    planar_grid: voxel_hash.VoxelGrid,
+    edge_targets: TargetSet,
+    planar_targets: TargetSet,
     T_init: jnp.ndarray,
     cfg: SolverConfig,
     iters: Optional[int] = None,
     vis: Optional[VisData] = None,
 ):
-    """LOAM odometry solve: current features vs previous-scan feature grids.
+    """LOAM odometry solve: current features vs previous-scan feature targets.
 
-    ``edge_grid.payload[:, 0]`` must carry ring indices (different-ring rule).
-    When ``vis`` is given, reprojection residuals join the cost (config 4,
-    the "vision-enhanced" joint solve).  Returns (T_target_cur, SolveDiag).
+    ``edge_targets.payload[:, 0]`` must carry ring indices (different-ring
+    rule).  When ``vis`` is given, reprojection residuals join the cost
+    (config 4, the "vision-enhanced" joint solve).
+    Returns (T_target_cur, SolveDiag).
     """
     outer = cfg.icp_iters_odom if iters is None else iters
+    eq, e_pts, e_payload = _make_engine(edge_targets, cfg)
+    pq, p_pts, _ = _make_engine(planar_targets, cfg)
 
     def outer_body(_, carry):
         T, _diag = carry
         pe = se3.apply(T[None], cur_edges[None])[0]
-        a, b, e_ok = _edge_lines_2pt(edge_grid, pe, cur_edge_mask, cfg)
+        a, b, e_ok = _edge_lines_2pt(eq, e_pts, e_payload, pe, cur_edge_mask)
         pp = se3.apply(T[None], cur_planars[None])[0]
-        n, d, p_ok = _planar_planes_fit(planar_grid, pp, cur_planar_mask, cfg)
+        n, d, p_ok = _planar_planes_fit(pq, p_pts, pp, cur_planar_mask,
+                                        cfg.map_knn)
 
         build = make_lidar_system(
             cur_edges, cur_edge_mask, a, b, e_ok,
@@ -218,8 +235,8 @@ def solve_scan_to_map(
     cur_edge_mask: jnp.ndarray,
     cur_planars: jnp.ndarray,
     cur_planar_mask: jnp.ndarray,
-    edge_grid: voxel_hash.VoxelGrid,
-    planar_grid: voxel_hash.VoxelGrid,
+    edge_targets: TargetSet,
+    planar_targets: TargetSet,
     T_init: jnp.ndarray,
     cfg: SolverConfig,
     iters: Optional[int] = None,
@@ -227,21 +244,22 @@ def solve_scan_to_map(
     """LOAM mapping solve: eigen line/plane fits over k-NN in the local map."""
     outer = cfg.icp_iters_map if iters is None else iters
     k = cfg.map_knn
+    eq, e_pts, _ = _make_engine(edge_targets, cfg)
+    pq, p_pts, _ = _make_engine(planar_targets, cfg)
 
     def outer_body(_, carry):
         T, _diag = carry
         pe = se3.apply(T[None], cur_edges[None])[0]
-        e_pts, e_val = _knn_points(edge_grid, pe, cur_edge_mask, k, cfg)
-        mu, direction, l_ok = res.fit_line_eig(e_pts, e_val)
+        idx, dist, e_val = eq(pe, cur_edge_mask, k)
+        mu, direction, l_ok = res.fit_line_eig(e_pts[idx], e_val)
         # Two virtual points on the fitted line.
         a = mu - 0.1 * direction
         b = mu + 0.1 * direction
         e_ok = l_ok & cur_edge_mask
 
         pp = se3.apply(T[None], cur_planars[None])[0]
-        p_pts, p_val = _knn_points(planar_grid, pp, cur_planar_mask, k, cfg)
-        n, d, pl_ok = res.fit_plane_eig(p_pts, p_val)
-        p_ok = pl_ok & cur_planar_mask
+        n, d, p_ok = _planar_planes_fit(pq, p_pts, pp, cur_planar_mask, k)
+        p_ok = p_ok & cur_planar_mask
 
         build = make_lidar_system(
             cur_edges, cur_edge_mask, a, b, e_ok,
