@@ -183,3 +183,22 @@ def test_deskew_restores_geometry():
     assert np.median(err_fix) < 0.02, np.median(err_fix)
     assert np.median(err_raw) > 5 * np.median(err_fix), (
         np.median(err_raw), np.median(err_fix))
+
+
+def test_apply_scaled_exp_matches_matrix_path(rng):
+    """Axis-shared Rodrigues fast path == per-point exp(s*xi) matrices."""
+    from velo_tpu.geom import se3
+
+    pts = jnp.asarray(rng.normal(size=(500, 3)).astype(np.float32) * 20)
+    s = jnp.asarray(rng.random(500).astype(np.float32))
+    for xi_np in [
+        np.array([0.8, -0.2, 0.05, 0.01, -0.02, 0.06], np.float32),
+        np.array([0.5, 0.0, 0.0, 0.0, 0.0, 0.0], np.float32),  # pure trans
+        np.zeros(6, np.float32),
+        np.array([0.1, 0.2, 0.3, 0.3, -0.2, 0.25], np.float32),  # big rot
+    ]:
+        xi = jnp.asarray(xi_np)
+        ref = se3.apply_one(se3.exp(s[:, None] * xi[None, :]), pts)
+        fast = deskew.apply_scaled_exp(pts, s, xi)
+        np.testing.assert_allclose(np.asarray(fast), np.asarray(ref),
+                                   atol=2e-4)

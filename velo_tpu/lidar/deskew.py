@@ -52,9 +52,50 @@ def deskew(
     s = azimuth_phase(pts, az_start)
     if not enabled:
         return pts, s
-    T = se3.exp(s[:, None] * delta_xi[None, :])  # (N, 4, 4)
-    out = se3.apply_one(T, pts)
+    out = apply_scaled_exp(pts, s, delta_xi)
     return out, s
+
+
+def apply_scaled_exp(pts: jnp.ndarray, s: jnp.ndarray,
+                     xi: jnp.ndarray) -> jnp.ndarray:
+    """Compute ``exp(s_i * xi) @ p_i`` for all points without materializing
+    per-point 4x4 matrices.
+
+    Every per-point transform shares the rotation *axis* of ``xi`` — only the
+    angle scales with the phase — so Rodrigues applies directly with
+    per-point sin/cos scalars:
+
+        p' = p cos(a) + (k x p) sin(a) + k (k.p)(1 - cos a) + V(a k) (s rho)
+
+    This replaces a (N,4,4) tensor build + batched matmul (several ms/frame
+    of bandwidth and layout copies in the device profile) with ~15 fused
+    element-wise ops on (N,) lanes.
+    """
+    rho, phi = xi[:3], xi[3:]
+    theta = jnp.linalg.norm(phi)
+    small = theta < 1e-8
+    k = phi / jnp.where(small, 1.0, theta)  # unit axis (arbitrary if ~0)
+    a = s * theta  # per-point angle
+    sin_a = jnp.sin(a)[:, None]
+    cos_a = jnp.cos(a)[:, None]
+
+    kxp = jnp.cross(k[None, :], pts)
+    kdp = jnp.sum(pts * k[None, :], axis=-1, keepdims=True)
+    rot = pts * cos_a + kxp * sin_a + k[None, :] * kdp * (1.0 - cos_a)
+
+    # Translation: V(a k) @ (s rho) with V = I + ((1-cos a)/a) hat(k)
+    # + ((a - sin a)/a) hat(k)^2 ; Taylor-guard the a->0 limits.
+    safe_a = jnp.where(jnp.abs(a) < 1e-6, 1.0, a)[:, None]
+    B = jnp.where(jnp.abs(a)[:, None] < 1e-6, 0.5 * a[:, None],
+                  (1.0 - cos_a) / safe_a)
+    C = jnp.where(jnp.abs(a)[:, None] < 1e-6, a[:, None] ** 2 / 6.0,
+                  (a[:, None] - sin_a) / safe_a)
+    kxr = jnp.cross(k, rho)
+    kxkxr = jnp.cross(k, kxr)
+    t = s[:, None] * (rho[None, :] + B * kxr[None, :] + C * kxkxr[None, :])
+    out = rot + t
+    # Pure-translation limit: rotation is identity.
+    return jnp.where(small, pts + s[:, None] * rho[None, :], out)
 
 
 def redeskew(pts: jnp.ndarray, phase: jnp.ndarray, xi_old: jnp.ndarray,

@@ -64,8 +64,25 @@ class VisData(NamedTuple):
     T_cam_velo: jnp.ndarray  # (4, 4)
 
 
-def _make_engine(targets: TargetSet, cfg: SolverConfig):
-    """Static dispatch on cfg.nn_engine -> (query_fn, pts, payload)."""
+_N_CAND = 16  # candidates precomputed per query (covers pose wander)
+_CAND_SLACK = 2.0  # extra search radius so candidates survive pose updates
+
+
+def _make_engine(targets: TargetSet, queries: jnp.ndarray,
+                 qmask: jnp.ndarray, T_init: jnp.ndarray, cfg: SolverConfig):
+    """Static dispatch on cfg.nn_engine.
+
+    Returns ``query(p, mask, k) -> (nbr_pts (Q,k,3), nbr_payload (Q,k,P),
+    dist (Q,k), valid (Q,k))``.
+
+    Dense engine: the expensive global search (one MXU distance matmul +
+    top-k over the whole target set) runs ONCE, at the initial pose, with an
+    enlarged radius and ``_N_CAND`` candidates; every outer ICP iteration
+    then re-ranks only those candidates — an O(Q*16) pass instead of
+    O(Q*N).  This is sound because LM pose updates move points by well under
+    the slack radius, and it removed the dominant per-iteration top-k cost
+    from the device profile.
+    """
     if cfg.nn_engine == "hash":
         # Center the packed voxel keys on the cloud so world-frame maps stay
         # within the +/-511-cell key window (targets are crop_radius-bounded).
@@ -79,35 +96,56 @@ def _make_engine(targets: TargetSet, cfg: SolverConfig):
         )
 
         def query(p, mask, k):
-            return voxel_hash.knn(grid, p, mask, k=k,
-                                  max_dist=cfg.corr_max_dist,
-                                  occupancy=cfg.voxel_occupancy)
+            idx, dist, val = voxel_hash.knn(
+                grid, p, mask, k=k, max_dist=cfg.corr_max_dist,
+                occupancy=cfg.voxel_occupancy,
+            )
+            return grid.pts[idx], grid.payload[idx], dist, val
 
-        return query, grid.pts, grid.payload
+        return query
+
+    n_cand = min(_N_CAND, targets.pts.shape[0])
+    p0 = se3.apply(T_init[None], queries[None])[0]
+    cand_idx, _, cand_ok = dense_nn.knn(
+        targets, p0, qmask, k=n_cand,
+        max_dist=cfg.corr_max_dist + _CAND_SLACK,
+    )
+    cand_pts = targets.pts[cand_idx]  # (Q, C, 3) gathered once
+    cand_payload = targets.payload[cand_idx]  # (Q, C, P)
 
     def query(p, mask, k):
-        return dense_nn.knn(targets, p, mask, k=k,
-                            max_dist=cfg.corr_max_dist)
+        k = min(k, n_cand)
+        d2 = jnp.sum((p[:, None, :] - cand_pts) ** 2, axis=-1)
+        d2 = jnp.where(cand_ok & mask[:, None], d2, jnp.inf)
+        neg, top = jax.lax.top_k(-d2, k)  # (Q, k) over only C=16 lanes
+        dist2 = jnp.maximum(-neg, 0.0)
+        nbr = jnp.take_along_axis(cand_pts, top[..., None], axis=1)
+        pay = jnp.take_along_axis(
+            cand_payload, top[..., None], axis=1
+        ) if cand_payload.shape[-1] else cand_payload[:, :k]
+        valid = jnp.isfinite(dist2) & (dist2 <= cfg.corr_max_dist**2)
+        dist = jnp.sqrt(jnp.where(jnp.isfinite(dist2), dist2, 1e12))
+        return nbr, pay, dist, valid
 
-    return query, targets.pts, targets.payload
+    return query
 
 
-def _edge_lines_2pt(query, pts, payload, p, mask):
+def _edge_lines_2pt(query, p, mask):
     """Nearest + nearest-on-a-different-ring target points for each edge."""
-    idx, dist, val = query(p, mask, 6)
-    ring = payload[idx][..., 0]  # (Q, k)
+    nbr, pay, dist, val = query(p, mask, 5)
+    ring = pay[..., 0]  # (Q, k)
     a_ok = val[:, 0]
     ring_a = ring[:, 0]
     diff = val & (ring != ring_a[:, None])
-    order = jnp.arange(idx.shape[1], dtype=jnp.int32)[None, :]
+    order = jnp.arange(nbr.shape[1], dtype=jnp.int32)[None, :]
     j_b = jnp.argmin(jnp.where(diff, order, _BIG), axis=1)
     b_ok = jnp.any(diff, axis=1)
-    a = pts[idx[:, 0]]
-    b = pts[jnp.take_along_axis(idx, j_b[:, None], axis=1)[:, 0]]
+    a = nbr[:, 0]
+    b = jnp.take_along_axis(nbr, j_b[:, None, None], axis=1)[:, 0]
     return a, b, mask & a_ok & b_ok
 
 
-def _planar_planes_fit(query, pts, p, mask, k):
+def _planar_planes_fit(query, p, mask, k):
     """Gated PCA plane over the k nearest target planar points.
 
     A plane through the bare 3 nearest points is ill-conditioned whenever the
@@ -116,9 +154,8 @@ def _planar_planes_fit(query, pts, p, mask, k):
     odometry objective — found via a cost-at-ground-truth probe.  The PCA fit
     with LOAM-style eigenvalue + flatness gates rejects those configurations.
     """
-    idx, dist, val = query(p, mask, k)
-    npts = pts[idx]  # (Q, k, 3)
-    n, d, ok = res.fit_plane_eig(npts, val)
+    nbr, _, dist, val = query(p, mask, k)
+    n, d, ok = res.fit_plane_eig(nbr, val)
     return n, d, ok & mask & (val.sum(axis=1) >= 3)
 
 
@@ -197,15 +234,16 @@ def solve_scan_to_scan(
     Returns (T_target_cur, SolveDiag).
     """
     outer = cfg.icp_iters_odom if iters is None else iters
-    eq, e_pts, e_payload = _make_engine(edge_targets, cfg)
-    pq, p_pts, _ = _make_engine(planar_targets, cfg)
+    eq = _make_engine(edge_targets, cur_edges, cur_edge_mask, T_init, cfg)
+    pq = _make_engine(planar_targets, cur_planars, cur_planar_mask, T_init,
+                      cfg)
 
     def outer_body(_, carry):
         T, _diag = carry
         pe = se3.apply(T[None], cur_edges[None])[0]
-        a, b, e_ok = _edge_lines_2pt(eq, e_pts, e_payload, pe, cur_edge_mask)
+        a, b, e_ok = _edge_lines_2pt(eq, pe, cur_edge_mask)
         pp = se3.apply(T[None], cur_planars[None])[0]
-        n, d, p_ok = _planar_planes_fit(pq, p_pts, pp, cur_planar_mask,
+        n, d, p_ok = _planar_planes_fit(pq, pp, cur_planar_mask,
                                         cfg.map_knn)
 
         build = make_lidar_system(
@@ -244,21 +282,22 @@ def solve_scan_to_map(
     """LOAM mapping solve: eigen line/plane fits over k-NN in the local map."""
     outer = cfg.icp_iters_map if iters is None else iters
     k = cfg.map_knn
-    eq, e_pts, _ = _make_engine(edge_targets, cfg)
-    pq, p_pts, _ = _make_engine(planar_targets, cfg)
+    eq = _make_engine(edge_targets, cur_edges, cur_edge_mask, T_init, cfg)
+    pq = _make_engine(planar_targets, cur_planars, cur_planar_mask, T_init,
+                      cfg)
 
     def outer_body(_, carry):
         T, _diag = carry
         pe = se3.apply(T[None], cur_edges[None])[0]
-        idx, dist, e_val = eq(pe, cur_edge_mask, k)
-        mu, direction, l_ok = res.fit_line_eig(e_pts[idx], e_val)
+        e_nbr, _, _, e_val = eq(pe, cur_edge_mask, k)
+        mu, direction, l_ok = res.fit_line_eig(e_nbr, e_val)
         # Two virtual points on the fitted line.
         a = mu - 0.1 * direction
         b = mu + 0.1 * direction
         e_ok = l_ok & cur_edge_mask
 
         pp = se3.apply(T[None], cur_planars[None])[0]
-        n, d, p_ok = _planar_planes_fit(pq, p_pts, pp, cur_planar_mask, k)
+        n, d, p_ok = _planar_planes_fit(pq, pp, cur_planar_mask, k)
         p_ok = p_ok & cur_planar_mask
 
         build = make_lidar_system(
