@@ -42,11 +42,16 @@ def make_targets(pts, mask, payload=None) -> TargetSet:
 
 
 def knn(targets: TargetSet, queries: jnp.ndarray, qmask: jnp.ndarray,
-        k: int, max_dist: float):
-    """Exact masked kNN via one distance matmul + top_k.
+        k: int, max_dist: float, approx: bool = False):
+    """Masked kNN via one distance matmul + top_k.
 
     Same contract as voxel_hash.knn: returns (idx (Q,k) into targets.pts,
     dist (Q,k), valid (Q,k)); invalid lanes carry large distances.
+
+    ``approx=True`` selects the TPU ApproxTopK custom call (recall ~0.99)
+    — the right trade for *candidate preselection*, where a rarely-missed
+    16th-nearest neighbor cannot move a robust-loss solve, and the exact
+    partial sort over large N dominates the device profile.
     """
     t = targets.pts
     q = queries
@@ -59,10 +64,15 @@ def knn(targets: TargetSet, queries: jnp.ndarray, qmask: jnp.ndarray,
     q2 = jnp.sum(q * q, axis=-1, keepdims=True)
     t2 = jnp.sum(t * t, axis=-1)
     d2 = q2 - 2.0 * cross + t2[None, :]
-    d2 = jnp.where(targets.mask[None, :], d2, jnp.inf)
-    d2 = jnp.where(qmask[:, None], d2, jnp.inf)
+    big = jnp.float32(1e30)  # ApproxTopK dislikes inf; use a finite sentinel
+    d2 = jnp.where(targets.mask[None, :], d2, big)
+    d2 = jnp.where(qmask[:, None], d2, big)
 
-    neg, idx = jax.lax.top_k(-d2, k)
+    if approx and t.shape[0] >= 4 * k:
+        neg, idx = jax.lax.approx_max_k(-d2, k, recall_target=0.99)
+    else:
+        neg, idx = jax.lax.top_k(-d2, k)
+    neg = jnp.where(neg <= -big * 0.5, -jnp.inf, neg)
     dist2 = jnp.maximum(-neg, 0.0)  # matmul rounding can go slightly negative
     valid = jnp.isfinite(dist2) & (dist2 <= max_dist * max_dist)
     dist = jnp.sqrt(jnp.where(jnp.isfinite(dist2), dist2, 1e12))

@@ -108,7 +108,7 @@ def _make_engine(targets: TargetSet, queries: jnp.ndarray,
     p0 = se3.apply(T_init[None], queries[None])[0]
     cand_idx, _, cand_ok = dense_nn.knn(
         targets, p0, qmask, k=n_cand,
-        max_dist=cfg.corr_max_dist + _CAND_SLACK,
+        max_dist=cfg.corr_max_dist + _CAND_SLACK, approx=True,
     )
     cand_pts = targets.pts[cand_idx]  # (Q, C, 3) gathered once
     cand_payload = targets.payload[cand_idx]  # (Q, C, P)
