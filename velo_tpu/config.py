@@ -80,6 +80,10 @@ class SolverConfig:
     huber_delta_repr: float = 1.5  # pixels
     vis_weight: float = 0.3  # relative weight of reprojection residuals
     converge_tol: float = 1e-4  # pose-delta convergence mask threshold
+    degen_rel_min: float = 0.0  # per-block relative H-eigenvalue gate:
+    # directions weaker than this fraction of the block's strongest keep the
+    # motion prior (corridor degeneracy remap). Default off — it measurably
+    # hurt clean-data runs; enable ~0.01 for corridor-heavy environments.
 
 
 @dataclass(frozen=True)

@@ -148,17 +148,19 @@ def make_trajectory(n_frames: int, dt: float = 0.1, speed: float = 8.0,
 # ---------------------------------------------------------------------------
 
 
-def _interp_pose(T0: np.ndarray, T1: np.ndarray, s: float) -> np.ndarray:
-    """Geodesic pose interpolation (host-side, for simulation only)."""
+def _interp_poses(T0: np.ndarray, T1: np.ndarray, s: np.ndarray):
+    """Geodesic pose interpolation at fractions s (host, simulation only).
+
+    Returns (R (S,3,3), t (S,3)). Vectorized so the scanner can use an exact
+    per-azimuth-column pose — block-wise interpolation left ~cm sawtooth
+    discontinuities in the synthetic scans that read as fake curvature.
+    """
     from scipy.spatial.transform import Rotation, Slerp
 
     key = Rotation.from_matrix(np.stack([T0[:3, :3], T1[:3, :3]]))
-    R = Slerp([0.0, 1.0], key)(s).as_matrix()
-    t = (1 - s) * T0[:3, 3] + s * T1[:3, 3]
-    out = np.eye(4)
-    out[:3, :3] = R
-    out[:3, 3] = t
-    return out
+    R = Slerp([0.0, 1.0], key)(np.asarray(s)).as_matrix()
+    t = (1 - s[:, None]) * T0[:3, 3] + s[:, None] * T1[:3, 3]
+    return R, t
 
 
 def simulate_velodyne(
@@ -185,35 +187,35 @@ def simulate_velodyne(
     Points with no return get range 0 (KITTI drops them; we emit and filter).
     """
     elev = np.deg2rad(np.linspace(elev_max_deg, elev_min_deg, n_rings))
-    az_all = -2.0 * np.pi * np.arange(n_azimuth) / n_azimuth  # clockwise
-    pts = np.zeros((n_rings, n_azimuth, 4), np.float32)
+    phase = (np.arange(n_azimuth) + 0.5) / n_azimuth
+    az_all = -2.0 * np.pi * phase  # clockwise
 
-    block = max(1, n_azimuth // azimuth_steps)
-    for b0 in range(0, n_azimuth, block):
-        b1 = min(b0 + block, n_azimuth)
-        s = (b0 + 0.5 * (b1 - b0)) / n_azimuth
-        T = _interp_pose(pose_start, pose_end, s)
-        az = az_all[b0:b1]
-        ce, se = np.cos(elev)[:, None], np.sin(elev)[:, None]
-        ca, sa = np.cos(az)[None, :], np.sin(az)[None, :]
-        dirs_s = np.stack(
-            [ce * ca, ce * sa, np.broadcast_to(se, (n_rings, b1 - b0))], axis=-1
-        ).reshape(-1, 3)  # sensor frame
-        dirs_w = dirs_s @ T[:3, :3].T
-        orig_w = np.broadcast_to(T[:3, 3], dirs_w.shape)
-        t, _, _ = raycast(world, orig_w, dirs_w, t_max=max_range)
-        if noise_std > 0 and rng is not None:
-            t = t + rng.normal(0.0, noise_std, t.shape)
-        ok = np.isfinite(t) & (t <= max_range) & (t >= min_range)
-        t = np.where(ok, t, 0.0)
-        p = dirs_s * t[:, None]
-        blk = np.concatenate(
-            [p, 0.5 * np.ones_like(t[:, None])], axis=1
-        ).reshape(n_rings, b1 - b0, 4)
-        blk[~ok.reshape(n_rings, b1 - b0)] = 0.0
-        pts[:, b0:b1] = blk.astype(np.float32)
+    # Exact per-column sensor pose (azimuth_steps kept for API compat).
+    R_c, t_c = _interp_poses(pose_start, pose_end, phase)  # (C,3,3),(C,3)
+    ce, se = np.cos(elev)[:, None], np.sin(elev)[:, None]
+    ca, sa = np.cos(az_all)[None, :], np.sin(az_all)[None, :]
+    dirs_s = np.stack(
+        [ce * ca, ce * sa, np.broadcast_to(se, (n_rings, n_azimuth))], axis=-1
+    )  # (R, C, 3) sensor frame
+    dirs_w = np.einsum("cij,rcj->rci", R_c, dirs_s).reshape(-1, 3)
+    orig_w = np.broadcast_to(t_c[None], (n_rings, n_azimuth, 3)).reshape(-1, 3)
 
-    flat = pts.reshape(-1, 4)
+    # Chunked raycast: (rays x boxes x 3) intermediates get large at HDL-64
+    # resolution; 32k-ray chunks keep peak memory modest.
+    t = np.empty(dirs_w.shape[0])
+    chunk = 32768
+    for c0 in range(0, dirs_w.shape[0], chunk):
+        c1 = min(c0 + chunk, dirs_w.shape[0])
+        t[c0:c1] = raycast(world, orig_w[c0:c1], dirs_w[c0:c1],
+                           t_max=max_range)[0]
+    if noise_std > 0 and rng is not None:
+        t = t + rng.normal(0.0, noise_std, t.shape)
+    ok = np.isfinite(t) & (t <= max_range) & (t >= min_range)
+    t = np.where(ok, t, 0.0)
+    p = dirs_s.reshape(-1, 3) * t[:, None]
+    flat = np.concatenate([p, 0.5 * np.ones_like(t[:, None])], axis=1)
+    flat[~ok] = 0.0
+    flat = flat.astype(np.float32)
     return flat[np.linalg.norm(flat[:, :3], axis=1) >= min_range]
 
 

@@ -218,6 +218,10 @@ def step(carry: OdomCarry, scan: jnp.ndarray, scan_mask: jnp.ndarray,
         edges_fix, planars_fix = tfeats.edges, tfeats.planars
 
     # 7) Map update: insert corrected features (world frame), bound density.
+    # (A novelty-gated insert — only voxel-new points consume slots — was
+    # tried for retention and measurably HURT long-run drift: stale
+    # misplaced map points persist and block better-localized refreshes.
+    # Full refresh insert keeps the map consistent with the best poses.)
     if cfg.use_map:
         w_edges = se3.apply(T_w[None], edges_fix[None])[0]
         w_planars = se3.apply(T_w[None], planars_fix[None])[0]

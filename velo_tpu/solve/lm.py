@@ -43,6 +43,28 @@ def lm_solve(
     def cost_only(T):
         return build_system(T)[2]
 
+    # Degeneracy-aware solution remapping (Zhang-style): long corridors leave
+    # one direction (travel) nearly unobservable; noise in the hundreds of
+    # well-observed constraints then drags the solution along it.  Analyze
+    # the translation and rotation 3x3 blocks of H at T0 *separately* (their
+    # units differ, so joint eigenvalues are incomparable) with a gate
+    # RELATIVE to each block's strongest eigenvalue — robust to global
+    # rescaling by robust-loss weights — and project the weak directions out
+    # of every step so the motion prior survives along them.
+    if cfg.degen_rel_min > 0.0:
+        H0, _, _ = build_system(T0)
+
+        def block_proj(B):
+            evals, V = jnp.linalg.eigh(B)
+            keep = (evals > cfg.degen_rel_min * evals[-1]).astype(B.dtype)
+            return (V * keep[None, :]) @ V.T
+
+        P_keep = jax.scipy.linalg.block_diag(
+            block_proj(H0[:3, :3]), block_proj(H0[3:, 3:])
+        )
+    else:
+        P_keep = jnp.eye(6, dtype=T0.dtype)
+
     def body(_, st: LMState) -> LMState:
         H, g, cost = build_system(st.T)
         # Jacobi scaling: solve in units of sqrt(diag(H)) for conditioning
@@ -53,7 +75,7 @@ def lm_solve(
         A = Hs + st.lam * jnp.eye(6, dtype=H.dtype) + 1e-7 * jnp.eye(6, dtype=H.dtype)
         L = jnp.linalg.cholesky(A)
         delta_s = jax.scipy.linalg.cho_solve((L, True), -gs)
-        delta = delta_s / D
+        delta = P_keep @ (delta_s / D)
         # Guard: a failed factorization (NaN) must not poison the pose.
         bad = ~jnp.all(jnp.isfinite(delta))
         delta = jnp.where(bad, 0.0, delta)
