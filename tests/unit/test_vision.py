@@ -150,3 +150,51 @@ def test_depth_association_exact_on_fixture():
     assert ok.sum() > 20
     err = np.abs(np.asarray(res.depth)[ok] - np.asarray(z)[sel][ok])
     assert np.median(err) < 0.05, np.median(err)
+
+
+def test_bilinear_patches_matmul_matches_gather(rng):
+    """MXU patch formulation == flat-gather sampling (interior features)."""
+    img = jnp.asarray(rng.random((96, 256)).astype(np.float32))
+    centers = jnp.asarray(
+        rng.uniform([20, 20], [236, 76], (64, 2)).astype(np.float32)
+    )
+    h = 7
+    p_mm, inb_mm = pyramid.bilinear_patches_matmul(img, centers, h)
+    offs = pyramid.patch_offsets(h)
+    p_g, inb_g = pyramid.bilinear_sample(
+        img, centers[:, None, :] + offs[None]
+    )
+    assert bool(inb_mm.all())
+    np.testing.assert_allclose(
+        np.asarray(p_mm).reshape(64, -1), np.asarray(p_g), atol=1e-5
+    )
+    # Border feature flagged, not NaN.
+    edge = jnp.asarray([[2.0, 2.0]], jnp.float32)
+    p_e, inb_e = pyramid.bilinear_patches_matmul(img, edge, h)
+    assert not bool(inb_e[0])
+    assert np.isfinite(np.asarray(p_e)).all()
+
+
+def test_pallas_klt_kernel_interpret_parity():
+    """Pallas IC-LK kernel == pure-JAX level tracker (interpret mode)."""
+    from velo_tpu.pallas import klt_kernel
+
+    imgs, *_ = _render()
+    img = imgs[0]
+    img2 = np.roll(np.roll(img, 2, axis=0), 4, axis=1)
+    cfg = vcfg()
+    c = corners.detect(jnp.asarray(img), cfg)
+    gx, gy = pyramid.scharr_gradients(jnp.asarray(img))
+    uv_ref, ok_ref = klt._track_level(
+        jnp.asarray(img), gx, gy, jnp.asarray(img2), c.uv, c.uv,
+        cfg.klt_halfwin, cfg.klt_iters,
+    )
+    uv_k, ok_k = klt_kernel.track_level(
+        jnp.asarray(img), gx, gy, jnp.asarray(img2), c.uv, c.uv,
+        halfwin=cfg.klt_halfwin, iters=cfg.klt_iters, interpret=True,
+    )
+    both = np.asarray(ok_ref) & np.asarray(ok_k) & np.asarray(c.valid)
+    assert both.sum() > 30
+    d = np.linalg.norm(np.asarray(uv_ref)[both] - np.asarray(uv_k)[both],
+                       axis=1)
+    assert np.median(d) < 0.05, np.median(d)

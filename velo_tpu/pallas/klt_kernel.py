@@ -1,25 +1,25 @@
 """Pallas TPU kernel for one pyramid level of inverse-compositional KLT (C7).
 
-Why a kernel: the pure-JAX tracker samples patches with flat gathers —
-`img.reshape(-1)[y0*W + x0]` over (K, P) indices — and XLA executes
-arbitrary-index gathers on the TPU *scalar unit*, serializing ~millions of
-loads per frame.  The kernel formulation replaces every gather with a 2D
-**dynamic slice** (the fast, contiguous TPU memory path):
+Why a kernel: the pure-JAX tracker samples patches with flat gathers over
+(K, P) indices, and inside the fused odometry program XLA executes those on
+the TPU *scalar unit* — the device trace showed ~74 ms/frame in the six KLT
+level loops, dominating the fused pipeline.  The kernel replaces every gather
+with aligned vector loads:
 
   * the whole pyramid level (image, gradients) sits in VMEM;
-  * one program per feature slices an (S+1, S+1) region at the integer part
-    of the sample position, then forms the bilinear patch from the four
-    shifted (S, S) windows with scalar corner weights — pure VPU math:
+  * one program per feature loads a (2R, S+1) block whose row start is
+    aligned to the 8-sublane grid (a Mosaic requirement for dynamic vector
+    loads), then shifts it to the wanted un-aligned row window with a one-hot
+    selection matmul — MXU work instead of scalar loads:
 
-        patch = w00*R[:-1,:-1] + w01*R[:-1,1:] + w10*R[1:,:-1] + w11*R[1:,1:]
+        rows = onehot(dy) @ block          # (S+1, 2R) @ (2R, S+1)
 
-  * the fixed-template Gauss-Newton iteration runs entirely in-kernel
-    (template + gradient slices loaded once, `fori_loop` over iterations).
+  * bilinear weights combine the four shifted (S, S) windows (pure VPU);
+  * the fixed-template Gauss-Newton iteration runs entirely in-kernel.
 
-Semantics match `velo_tpu.vision.klt._track_level` (the interpret-mode /
-pure-JAX oracle in tests): same template, same 2x2 normal matrix, same
-update rule; features whose (slightly padded) sample window would leave the
-image are flagged invalid and left unmoved.
+Semantics match `velo_tpu.vision.klt._track_level` (the pure-JAX oracle in
+tests): same template, same 2x2 normal matrix, same update rule; features
+whose sample window would leave the image are flagged invalid and unmoved.
 """
 from __future__ import annotations
 
@@ -31,19 +31,49 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _bilinear_region(ref, y0, x0, fy, fx, size):
-    """Bilinear patch (size, size) from a (size+1, size+1) dynamic slice."""
-    R = ref[pl.ds(y0, size + 1), pl.ds(x0, size + 1)]
-    w00 = (1.0 - fy) * (1.0 - fx)
-    w01 = (1.0 - fy) * fx
-    w10 = fy * (1.0 - fx)
-    w11 = fy * fx
-    return (
-        w00 * R[:-1, :-1]
-        + w01 * R[:-1, 1:]
-        + w10 * R[1:, :-1]
-        + w11 * R[1:, 1:]
+def _bilinear_region(ref, y0, x0, fy, fx, size, height, width):
+    """Bilinear (size, size) patch at unaligned float anchor, gather-free.
+
+    Mosaic requires dynamic vector-load starts aligned to the (8, 128) tile
+    grid, so arbitrary 2D slices are out.  Instead: load a *full-width* row
+    block at an 8-aligned row base (only the sublane start is dynamic, and it
+    is provably a multiple of 8), then fold BOTH the unaligned row/column
+    window selection AND the bilinear interpolation into two tiny weighted
+    selection matmuls on the MXU:
+
+        patch = W_row(dy, fy) @ block @ W_col(x0, fx)
+
+    where each selector has two shifted diagonals weighted (1-f, f).
+    """
+    rows = ((size + 8 + 7) // 8) * 8  # dy<=7 + size+1 span, rounded up to 8
+    # (height - rows) is a multiple of 8 for all supported level shapes, so
+    # the clip preserves 8-alignment; pl.multiple_of makes it provable.
+    y0a = pl.multiple_of(
+        jnp.clip((y0 // 8) * 8, 0, ((height - rows) // 8) * 8), 8
     )
+    dy = y0 - y0a
+    block = ref[pl.ds(y0a, rows), :]  # (rows, W) — aligned dynamic row start
+
+    r_ids = jax.lax.broadcasted_iota(jnp.int32, (size, rows), 0)
+    c_ids = jax.lax.broadcasted_iota(jnp.int32, (size, rows), 1)
+    wrow = (c_ids == r_ids + dy).astype(jnp.float32) * (1.0 - fy) + (
+        c_ids == r_ids + dy + 1
+    ).astype(jnp.float32) * fy
+
+    s_ids = jax.lax.broadcasted_iota(jnp.int32, (width, size), 0)
+    o_ids = jax.lax.broadcasted_iota(jnp.int32, (width, size), 1)
+    wcol = (s_ids == o_ids + x0).astype(jnp.float32) * (1.0 - fx) + (
+        s_ids == o_ids + x0 + 1
+    ).astype(jnp.float32) * fx
+
+    tmp = jax.lax.dot_general(
+        wrow, block, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (size, W)
+    return jax.lax.dot_general(
+        tmp, wcol, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (size, size)
 
 
 def _track_level_kernel(uv_prev_ref, uv_init_ref, img_prev_ref, gx_ref,
@@ -52,22 +82,24 @@ def _track_level_kernel(uv_prev_ref, uv_init_ref, img_prev_ref, gx_ref,
     i = pl.program_id(0)
     S = 2 * halfwin + 1
 
-    px = uv_prev_ref[i, 0]
-    py = uv_prev_ref[i, 1]
+    uv_p = uv_prev_ref[pl.ds(i, 1), :]  # (1, 2) row load
+    px = uv_p[0, 0]
+    py = uv_p[0, 1]
     # Template anchor: integer corner + fractional part, clamped in-bounds.
     tx0 = jnp.floor(px).astype(jnp.int32) - halfwin
     ty0 = jnp.floor(py).astype(jnp.int32) - halfwin
     t_in = (tx0 >= 0) & (ty0 >= 0) & (tx0 + S + 1 <= width) & (
-        ty0 + S + 1 <= height
+        ty0 + S + 9 <= height
     )
     tx0c = jnp.clip(tx0, 0, width - S - 1)
-    ty0c = jnp.clip(ty0, 0, height - S - 1)
+    ty0c = jnp.clip(ty0, 0, height - S - 9)
     tfx = px - jnp.floor(px)
     tfy = py - jnp.floor(py)
 
-    tmpl = _bilinear_region(img_prev_ref, ty0c, tx0c, tfy, tfx, S)
-    gx = _bilinear_region(gx_ref, ty0c, tx0c, tfy, tfx, S)
-    gy = _bilinear_region(gy_ref, ty0c, tx0c, tfy, tfx, S)
+    args = (tfy, tfx, S, height, width)
+    tmpl = _bilinear_region(img_prev_ref, ty0c, tx0c, *args)
+    gx = _bilinear_region(gx_ref, ty0c, tx0c, *args)
+    gy = _bilinear_region(gy_ref, ty0c, tx0c, *args)
 
     gxx = jnp.sum(gx * gx)
     gxy = jnp.sum(gx * gy)
@@ -84,13 +116,14 @@ def _track_level_kernel(uv_prev_ref, uv_init_ref, img_prev_ref, gx_ref,
         cx0 = jnp.floor(ux).astype(jnp.int32) - halfwin
         cy0 = jnp.floor(uy).astype(jnp.int32) - halfwin
         c_in = (cx0 >= 0) & (cy0 >= 0) & (cx0 + S + 1 <= width) & (
-            cy0 + S + 1 <= height
+            cy0 + S + 9 <= height
         )
         cx0c = jnp.clip(cx0, 0, width - S - 1)
-        cy0c = jnp.clip(cy0, 0, height - S - 1)
+        cy0c = jnp.clip(cy0, 0, height - S - 9)
         cfx = ux - jnp.floor(ux)
         cfy = uy - jnp.floor(uy)
-        cur = _bilinear_region(img_cur_ref, cy0c, cx0c, cfy, cfx, S)
+        cur = _bilinear_region(img_cur_ref, cy0c, cx0c, cfy, cfx, S, height,
+                               width)
         e = cur - tmpl
         bx = jnp.sum(gx * e)
         by = jnp.sum(gy * e)
@@ -101,15 +134,13 @@ def _track_level_kernel(uv_prev_ref, uv_init_ref, img_prev_ref, gx_ref,
         uy = uy - jnp.where(step_ok, dy, 0.0)
         return (ux, uy)
 
-    ux, uy = jax.lax.fori_loop(
-        0, iters, body, (uv_init_ref[i, 0], uv_init_ref[i, 1])
-    )
+    uv_i = uv_init_ref[pl.ds(i, 1), :]
+    ux, uy = jax.lax.fori_loop(0, iters, body, (uv_i[0, 0], uv_i[0, 1]))
     inb = (ux >= 1.0) & (ux <= width - 2.0) & (uy >= 1.0) & (
         uy <= height - 2.0
     )
-    uv_out_ref[i, 0] = ux
-    uv_out_ref[i, 1] = uy
-    ok_ref[i] = (ok & inb).astype(jnp.int32)
+    uv_out_ref[pl.ds(i, 1), :] = jnp.stack([ux, uy]).reshape(1, 2)
+    ok_ref[pl.ds(i, 1), :] = (ok & inb).astype(jnp.int32).reshape(1, 1)
 
 
 @functools.partial(jax.jit, static_argnames=("halfwin", "iters", "interpret"))
@@ -118,7 +149,9 @@ def track_level(img_prev, gx, gy, img_cur, uv_prev, uv_init, halfwin: int,
     """Pallas one-level IC-LK for all K features.
 
     Returns (uv_out (K,2) float32, ok (K,) bool) with the same semantics as
-    the pure-JAX `_track_level` (which remains the oracle in tests).
+    the pure-JAX `_track_level` (which remains the oracle in tests).  The
+    kernel's in-bounds margin is slightly stricter (8 alignment rows), so a
+    few border features may be flagged invalid that the oracle tracks.
     """
     K = uv_prev.shape[0]
     H, W = img_prev.shape
@@ -142,8 +175,8 @@ def track_level(img_prev, gx, gy, img_cur, uv_prev, uv_init, halfwin: int,
         ),
         out_shape=(
             jax.ShapeDtypeStruct((K, 2), jnp.float32),
-            jax.ShapeDtypeStruct((K,), jnp.int32),
+            jax.ShapeDtypeStruct((K, 1), jnp.int32),
         ),
         interpret=interpret,
     )(uv_prev, uv_init, img_prev, gx, gy, img_cur)
-    return uv_out, ok.astype(bool)
+    return uv_out, ok[:, 0].astype(bool)

@@ -31,15 +31,29 @@ class TrackResult(NamedTuple):
     fb_err: jnp.ndarray  # (K,) forward-backward error in px
 
 
-def _track_level(img_prev, gx_prev, gy_prev, img_cur, uv_prev, uv_cur, offs,
-                 iters: int):
+def _sample_patches(img, centers, halfwin: int):
+    """(K, P) bilinear patches + per-feature in-bounds flag.
+
+    TPU: matmul formulation (MXU; scalar-unit gathers cost ~74 ms/frame in
+    the fused trace).  Other backends: flat gathers (cheaper on CPU).
+    """
+    K = centers.shape[0]
+    if jax.default_backend() == "tpu":
+        p, inb = pyr.bilinear_patches_matmul(img, centers, halfwin)
+        return p.reshape(K, -1), inb
+    offs = pyr.patch_offsets(halfwin)
+    vals, inb = pyr.bilinear_sample(img, centers[:, None, :] + offs[None])
+    return vals, jnp.all(inb, axis=1)
+
+
+def _track_level(img_prev, gx_prev, gy_prev, img_cur, uv_prev, uv_cur,
+                 halfwin: int, iters: int):
     """One pyramid level of IC-LK for all features. Returns (uv_cur, ok)."""
     # Fixed template + gradients at the previous-image feature location.
-    pts = uv_prev[:, None, :] + offs[None, :, :]  # (K, P, 2)
-    tmpl, t_in = pyr.bilinear_sample(img_prev, pts)
-    gx, _ = pyr.bilinear_sample(gx_prev, pts)
-    gy, _ = pyr.bilinear_sample(gy_prev, pts)
-    ok = jnp.all(t_in, axis=1)
+    tmpl, t_in = _sample_patches(img_prev, uv_prev, halfwin)
+    gx, _ = _sample_patches(gx_prev, uv_prev, halfwin)
+    gy, _ = _sample_patches(gy_prev, uv_prev, halfwin)
+    ok = t_in
 
     gxx = jnp.sum(gx * gx, axis=1)
     gxy = jnp.sum(gx * gy, axis=1)
@@ -53,8 +67,7 @@ def _track_level(img_prev, gx_prev, gy_prev, img_cur, uv_prev, uv_cur, offs,
     inv11 = gxx / safe_det
 
     def body(_, uv):
-        cur_pts = uv[:, None, :] + offs[None, :, :]
-        cur, c_in = pyr.bilinear_sample(img_cur, cur_pts)
+        cur, c_in = _sample_patches(img_cur, uv, halfwin)
         e = cur - tmpl
         bx = jnp.sum(gx * e, axis=1)
         by = jnp.sum(gy * e, axis=1)
@@ -62,7 +75,7 @@ def _track_level(img_prev, gx_prev, gy_prev, img_cur, uv_prev, uv_cur, offs,
         dy = inv01 * bx + inv11 * by
         d = jnp.stack([dx, dy], axis=-1)
         # Inverse-compositional update: move against the error.
-        step_ok = (ok & jnp.all(c_in, axis=1))[:, None]
+        step_ok = (ok & c_in)[:, None]
         return uv - jnp.where(step_ok, d, 0.0)
 
     uv_out = jax.lax.fori_loop(0, iters, body, uv_cur)
@@ -85,15 +98,14 @@ def track_pyramid(prev_pyr, cur_pyr, prev_grads, uv0, valid,
     Initial guess: same position (coarsest level absorbs large motion).
     """
     levels = cfg.pyr_levels
-    offs = pyr.patch_offsets(cfg.klt_halfwin)
     scale = 2.0 ** (levels - 1)
     uv = uv0 / scale
     ok = valid
     for lv in range(levels - 1, -1, -1):
         gx, gy = prev_grads[lv]
         uv, lok = _track_level(
-            prev_pyr[lv], gx, gy, cur_pyr[lv], uv0 / (2.0**lv), uv, offs,
-            cfg.klt_iters,
+            prev_pyr[lv], gx, gy, cur_pyr[lv], uv0 / (2.0**lv), uv,
+            cfg.klt_halfwin, cfg.klt_iters,
         )
         ok = ok & lok
         if lv > 0:

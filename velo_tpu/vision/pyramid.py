@@ -7,6 +7,7 @@ image size).  The bilinear gather is the hot primitive of KLT: it samples
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
@@ -80,3 +81,50 @@ def patch_offsets(halfwin: int) -> jnp.ndarray:
     r = jnp.arange(-halfwin, halfwin + 1, dtype=jnp.float32)
     oy, ox = jnp.meshgrid(r, r, indexing="ij")
     return jnp.stack([ox.reshape(-1), oy.reshape(-1)], axis=-1)
+
+
+def bilinear_patches_matmul(img: jnp.ndarray, centers: jnp.ndarray,
+                            halfwin: int):
+    """Bilinear (K, S, S) patches around float centers — zero gathers.
+
+    TPU executes arbitrary-index gathers on the scalar unit (the KLT level
+    loops cost ~74 ms/frame that way in the fused-program device trace), so
+    this formulation moves patch extraction to the MXU: bilinear sampling in
+    x is a weighted two-diagonal column-selection matmul shared by all K
+    features, and sampling in y a small batched row-selection matmul:
+
+        strips  = img @ Wcol(x0, fx)      # (H, W) @ (W, K*S) -> (H, K*S)
+        patches = Wrow(y0, fy) @ strips   # batched (K, S, H) @ (K, H, S)
+
+    Returns (patches (K, S, S), in_bounds (K,)); out-of-image rows/cols
+    select nothing (zero weight), and `in_bounds` flags affected features.
+    """
+    H, W = img.shape
+    K = centers.shape[0]
+    S = 2 * halfwin + 1
+    x = centers[:, 0]
+    y = centers[:, 1]
+    x0 = jnp.floor(x).astype(jnp.int32) - halfwin
+    y0 = jnp.floor(y).astype(jnp.int32) - halfwin
+    fx = x - jnp.floor(x)
+    fy = y - jnp.floor(y)
+    inb = (x0 >= 0) & (y0 >= 0) & (x0 + S < W) & (y0 + S < H)
+
+    src = jnp.arange(W, dtype=jnp.int32)[:, None, None]  # (W,1,1)
+    tgt = x0[None, :, None] + jnp.arange(S, dtype=jnp.int32)[None, None, :]
+    wcol = (src == tgt) * (1.0 - fx)[None, :, None] + (src == tgt + 1) * fx[
+        None, :, None
+    ]  # (W, K, S)
+    strips = jnp.einsum(
+        "hw,wks->hks", img, wcol, precision=jax.lax.Precision.HIGHEST
+    )  # (H, K, S)
+
+    rsrc = jnp.arange(H, dtype=jnp.int32)[None, None, :]  # (1,1,H)
+    rtgt = y0[:, None, None] + jnp.arange(S, dtype=jnp.int32)[None, :, None]
+    wrow = (rsrc == rtgt) * (1.0 - fy)[:, None, None] + (rsrc == rtgt + 1) * fy[
+        :, None, None
+    ]  # (K, S, H)
+    patches = jnp.einsum(
+        "krh,hkc->krc", wrow, strips, precision=jax.lax.Precision.HIGHEST
+    )  # (K, S, S)
+    return patches, inb
