@@ -80,6 +80,14 @@ class SolverConfig:
     huber_delta_repr: float = 1.5  # pixels
     vis_weight: float = 0.3  # relative weight of reprojection residuals
     converge_tol: float = 1e-4  # pose-delta convergence mask threshold
+    # Plausibility gates (failure containment, SURVEY.md §5): a solve whose
+    # result deviates from the constant-velocity prediction by more than
+    # physics allows between 10 Hz frames is rejected in favor of the prior,
+    # so one bad frame cannot poison the map/velocity and cascade.
+    max_accel_trans: float = 0.6  # m/frame^2 deviation from predicted motion
+    max_accel_rot: float = 0.06  # rad/frame^2
+    max_map_corr_trans: float = 1.2  # scan-to-map may move the pose this far
+    max_map_corr_rot: float = 0.12  # rad
     degen_rel_min: float = 0.0  # per-block relative H-eigenvalue gate:
     # directions weaker than this fraction of the block's strongest keep the
     # motion prior (corridor degeneracy remap). Default off — it measurably

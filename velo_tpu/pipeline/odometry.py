@@ -182,6 +182,17 @@ def step(carry: OdomCarry, scan: jnp.ndarray, scan_mask: jnp.ndarray,
         deskew_ref = delta1
     else:
         deskew_ref = carry.delta
+
+    # Plausibility gate: between 10 Hz frames the motion cannot jump far from
+    # the constant-velocity prediction; a solve that claims otherwise has
+    # latched onto wrong correspondences (observed: one edge-starved frame
+    # cascades through map + velocity and destroys the whole trajectory).
+    dev = se3.log(se3.inv(se3.exp(carry.delta)) @ T_rel)
+    implausible = (
+        (jnp.linalg.norm(dev[:3]) > sc.max_accel_trans)
+        | (jnp.linalg.norm(dev[3:]) > sc.max_accel_rot)
+    ) & (carry.frame_idx >= 2)
+    T_rel = jnp.where(implausible, se3.exp(carry.delta), T_rel)
     T_w = carry.T_w @ T_rel
 
     # 4) Scan-to-map refinement against the local map (config >= 2).
@@ -196,7 +207,14 @@ def step(carry: OdomCarry, scan: jnp.ndarray, scan_mask: jnp.ndarray,
             feats.edges, feats.edge_mask, feats.planars, feats.planar_mask,
             e_targets, p_targets, T_w, sc,
         )
-        T_w = jnp.where(has_map & ~diag_m.degenerate, T_map, T_w)
+        # The map refinement is a *correction*; a large one means bad
+        # correspondences, not a better pose.
+        corr = se3.log(se3.inv(T_w) @ T_map)
+        map_ok = (
+            (jnp.linalg.norm(corr[:3]) < sc.max_map_corr_trans)
+            & (jnp.linalg.norm(corr[3:]) < sc.max_map_corr_rot)
+        )
+        T_w = jnp.where(has_map & ~diag_m.degenerate & map_ok, T_map, T_w)
 
     # 5) Velocity update from the *realized* motion.
     delta_new = se3.log(se3.inv(carry.T_w) @ T_w)
