@@ -71,6 +71,8 @@ class SolverConfig:
     corr_max_dist: float = 1.0  # gate NN correspondences beyond this (m)
     map_knn: int = 5  # neighbors for map line/plane eigen-fit
     icp_iters_odom: int = 6  # outer re-search iterations, scan-to-scan
+    icp_iters_redeskew: int = 3  # outer iterations of the post-redeskew
+    # re-solve (starts from the converged pose; needs fewer re-searches)
     icp_iters_map: int = 4  # outer re-search iterations, scan-to-map
     lm_iters: int = 4  # inner LM iterations per re-search
     lm_lambda_init: float = 1e-4

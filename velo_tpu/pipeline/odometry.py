@@ -143,9 +143,21 @@ def step(carry: OdomCarry, scan: jnp.ndarray, scan_mask: jnp.ndarray,
     )
     planar_targets = icp.make_targets(carry.prev_planars,
                                       carry.prev_planar_mask)
+    # One global candidate search per frame, shared by both solves: the
+    # redeskew between them moves features far less than the cache's slack
+    # radius, so re-running the O(Q*N) search bought nothing (device trace).
+    T_pred = se3.exp(carry.delta)
+    if sc.nn_engine == "dense":
+        e_cands = icp.build_candidates(edge_targets, feats.edges,
+                                       feats.edge_mask, T_pred, sc)
+        p_cands = icp.build_candidates(planar_targets, feats.planars,
+                                       feats.planar_mask, T_pred, sc)
+    else:
+        e_cands = p_cands = None
     T_rel, diag = icp.solve_scan_to_scan(
         feats.edges, feats.edge_mask, feats.planars, feats.planar_mask,
-        edge_targets, planar_targets, se3.exp(carry.delta), sc, vis=vis_data,
+        edge_targets, planar_targets, T_pred, sc, vis=vis_data,
+        edge_cands=e_cands, planar_cands=p_cands,
     )
     # Deskew/solve fixed point: the first solve ran on features deskewed with
     # the *predicted* motion; re-correct them with the solved motion and solve
@@ -177,6 +189,8 @@ def step(carry: OdomCarry, scan: jnp.ndarray, scan_mask: jnp.ndarray,
         T_rel, diag = icp.solve_scan_to_scan(
             feats.edges, feats.edge_mask, feats.planars, feats.planar_mask,
             edge_targets, planar_targets, T_rel, sc, vis=vis_data,
+            iters=sc.icp_iters_redeskew,
+            edge_cands=e_cands, planar_cands=p_cands,
         )
         # From here on the features are corrected relative to delta1.
         deskew_ref = delta1

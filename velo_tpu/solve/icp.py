@@ -68,20 +68,71 @@ _N_CAND = 16  # candidates precomputed per query (covers pose wander)
 _CAND_SLACK = 2.0  # extra search radius so candidates survive pose updates
 
 
+class CandCache(NamedTuple):
+    """Per-query candidate neighborhoods, precomputed once per frame.
+
+    The expensive global search (one MXU distance matmul + top-k over the
+    whole target set) runs ONCE, at the initial pose, with an enlarged
+    radius and ``_N_CAND`` candidates; every outer ICP iteration then
+    re-ranks only these candidates — an O(Q*16) pass instead of O(Q*N).
+    Sound because LM pose updates (and the redeskew between the two
+    scan-to-scan solves) move points by well under the slack radius.
+
+    A plain pytree (not a closure) so one cache can cross jit boundaries and
+    be shared by both scan-to-scan solves of a frame.
+    """
+
+    pts: jnp.ndarray  # (Q, C, 3) candidate target points per query
+    payload: jnp.ndarray  # (Q, C, P)
+    ok: jnp.ndarray  # (Q, C)
+
+
+def build_candidates(targets: TargetSet, queries: jnp.ndarray,
+                     qmask: jnp.ndarray, T_init: jnp.ndarray,
+                     cfg: SolverConfig) -> CandCache:
+    """Global approx-kNN preselection at the initial pose (dense engine)."""
+    n_cand = min(_N_CAND, targets.pts.shape[0])
+    p0 = se3.apply(T_init[None], queries[None])[0]
+    cand_idx, _, cand_ok = dense_nn.knn(
+        targets, p0, qmask, k=n_cand,
+        max_dist=cfg.corr_max_dist + _CAND_SLACK, approx=True,
+    )
+    return CandCache(
+        pts=targets.pts[cand_idx],  # (Q, C, 3) gathered once
+        payload=targets.payload[cand_idx],  # (Q, C, P)
+        ok=cand_ok,
+    )
+
+
+def _cand_query(cache: CandCache, cfg: SolverConfig):
+    """query(p, mask, k) re-ranking only the cached candidates."""
+
+    def query(p, mask, k):
+        k = min(k, cache.pts.shape[1])
+        d2 = jnp.sum((p[:, None, :] - cache.pts) ** 2, axis=-1)
+        d2 = jnp.where(cache.ok & mask[:, None], d2, jnp.inf)
+        neg, top = jax.lax.top_k(-d2, k)  # (Q, k) over only C=16 lanes
+        dist2 = jnp.maximum(-neg, 0.0)
+        nbr = jnp.take_along_axis(cache.pts, top[..., None], axis=1)
+        pay = jnp.take_along_axis(
+            cache.payload, top[..., None], axis=1
+        ) if cache.payload.shape[-1] else cache.payload[:, :k]
+        valid = jnp.isfinite(dist2) & (dist2 <= cfg.corr_max_dist**2)
+        dist = jnp.sqrt(jnp.where(jnp.isfinite(dist2), dist2, 1e12))
+        return nbr, pay, dist, valid
+
+    return query
+
+
 def _make_engine(targets: TargetSet, queries: jnp.ndarray,
-                 qmask: jnp.ndarray, T_init: jnp.ndarray, cfg: SolverConfig):
+                 qmask: jnp.ndarray, T_init: jnp.ndarray, cfg: SolverConfig,
+                 cands: CandCache | None = None):
     """Static dispatch on cfg.nn_engine.
 
     Returns ``query(p, mask, k) -> (nbr_pts (Q,k,3), nbr_payload (Q,k,P),
-    dist (Q,k), valid (Q,k))``.
-
-    Dense engine: the expensive global search (one MXU distance matmul +
-    top-k over the whole target set) runs ONCE, at the initial pose, with an
-    enlarged radius and ``_N_CAND`` candidates; every outer ICP iteration
-    then re-ranks only those candidates — an O(Q*16) pass instead of
-    O(Q*N).  This is sound because LM pose updates move points by well under
-    the slack radius, and it removed the dominant per-iteration top-k cost
-    from the device profile.
+    dist (Q,k), valid (Q,k))``.  ``cands`` short-circuits the dense engine's
+    global preselection with a caller-provided cache (engine reuse across
+    the pre/post-redeskew solves of one frame).
     """
     if cfg.nn_engine == "hash":
         # Center the packed voxel keys on the cloud so world-frame maps stay
@@ -104,30 +155,9 @@ def _make_engine(targets: TargetSet, queries: jnp.ndarray,
 
         return query
 
-    n_cand = min(_N_CAND, targets.pts.shape[0])
-    p0 = se3.apply(T_init[None], queries[None])[0]
-    cand_idx, _, cand_ok = dense_nn.knn(
-        targets, p0, qmask, k=n_cand,
-        max_dist=cfg.corr_max_dist + _CAND_SLACK, approx=True,
-    )
-    cand_pts = targets.pts[cand_idx]  # (Q, C, 3) gathered once
-    cand_payload = targets.payload[cand_idx]  # (Q, C, P)
-
-    def query(p, mask, k):
-        k = min(k, n_cand)
-        d2 = jnp.sum((p[:, None, :] - cand_pts) ** 2, axis=-1)
-        d2 = jnp.where(cand_ok & mask[:, None], d2, jnp.inf)
-        neg, top = jax.lax.top_k(-d2, k)  # (Q, k) over only C=16 lanes
-        dist2 = jnp.maximum(-neg, 0.0)
-        nbr = jnp.take_along_axis(cand_pts, top[..., None], axis=1)
-        pay = jnp.take_along_axis(
-            cand_payload, top[..., None], axis=1
-        ) if cand_payload.shape[-1] else cand_payload[:, :k]
-        valid = jnp.isfinite(dist2) & (dist2 <= cfg.corr_max_dist**2)
-        dist = jnp.sqrt(jnp.where(jnp.isfinite(dist2), dist2, 1e12))
-        return nbr, pay, dist, valid
-
-    return query
+    if cands is None:
+        cands = build_candidates(targets, queries, qmask, T_init, cfg)
+    return _cand_query(cands, cfg)
 
 
 def _edge_lines_2pt(query, p, mask):
@@ -225,18 +255,23 @@ def solve_scan_to_scan(
     cfg: SolverConfig,
     iters: Optional[int] = None,
     vis: Optional[VisData] = None,
+    edge_cands: Optional[CandCache] = None,
+    planar_cands: Optional[CandCache] = None,
 ):
     """LOAM odometry solve: current features vs previous-scan feature targets.
 
     ``edge_targets.payload[:, 0]`` must carry ring indices (different-ring
     rule).  When ``vis`` is given, reprojection residuals join the cost
-    (config 4, the "vision-enhanced" joint solve).
+    (config 4, the "vision-enhanced" joint solve).  ``edge_cands`` /
+    ``planar_cands`` reuse a prior :func:`build_candidates` result instead of
+    re-running the global search (dense engine only).
     Returns (T_target_cur, SolveDiag).
     """
     outer = cfg.icp_iters_odom if iters is None else iters
-    eq = _make_engine(edge_targets, cur_edges, cur_edge_mask, T_init, cfg)
+    eq = _make_engine(edge_targets, cur_edges, cur_edge_mask, T_init, cfg,
+                      cands=edge_cands)
     pq = _make_engine(planar_targets, cur_planars, cur_planar_mask, T_init,
-                      cfg)
+                      cfg, cands=planar_cands)
 
     def outer_body(_, carry):
         T, _diag = carry
