@@ -1,0 +1,153 @@
+"""Long-fixture accuracy harness: drift on a 150+ frame synthetic drive.
+
+Round-1's variant sweeps were ad hoc; this makes them reproducible:
+generates (and disk-caches) a long canyon drive with exact ground truth,
+runs the odometry device-resident, and prints the KITTI drift metric for a
+set of named config variants.
+
+Usage:
+  python scripts/longrun.py                     # base config only
+  python scripts/longrun.py --variants base,edges3,tm4
+  python scripts/longrun.py --rings 64 --azimuth 2048 --frames 150
+"""
+import argparse
+import dataclasses
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def get_fixture(frames, rings, az, seed=0):
+    cache = f"/tmp/velo_longrun_{frames}_{rings}_{az}_{seed}.npz"
+    from velo_tpu.io import fixtures, kitti
+
+    n_max = rings * az
+    if os.path.exists(cache):
+        d = np.load(cache)
+        return d["scans"], d["masks"], d["gt_velo"], d["gt_cam"], d["T_cam_velo"]
+    print(f"simulating {frames} frames at {rings}x{az}…", file=sys.stderr)
+    fx = fixtures.make_fixture(n_frames=frames, n_rings=rings, n_azimuth=az,
+                               with_images=False, speed=8.0, seed=seed)
+    padded = [kitti.pad_scan(s, n_max) for s in fx.scans]
+    scans = np.stack([p[0] for p in padded])
+    masks = np.stack([p[1] for p in padded])
+    np.savez_compressed(cache, scans=scans, masks=masks,
+                        gt_velo=fx.gt_poses_velo, gt_cam=fx.gt_poses_cam,
+                        T_cam_velo=fx.T_cam_velo)
+    return scans, masks, fx.gt_poses_velo, fx.gt_poses_cam, fx.T_cam_velo
+
+
+def variant_cfg(name, rings, az):
+    from velo_tpu.config import LidarConfig, VeloConfig
+
+    lid = dict(n_rings=rings, n_azimuth=az)
+    if name == "base":
+        pass
+    elif name == "edges3":
+        lid.update(edges_per_sector=3)
+    elif name == "tm4":
+        lid.update(target_mult=4)
+    elif name == "sectors6":
+        lid.update(n_sectors=6)
+    elif name == "planars6":
+        lid.update(planars_per_sector=6)
+    elif name.startswith("s:"):
+        pass  # solver override variant, handled below
+    else:
+        raise SystemExit(f"unknown variant {name}")
+    cfg = VeloConfig(lidar=LidarConfig(**lid), use_vision=False,
+                     use_map=True, n_max_points=rings * az)
+    if name.startswith("s:"):
+        # e.g. "s:icp_iters_redeskew=6" or "s:lm_iters=6,huber_delta_icp=0.2"
+        kv = dict(p.split("=") for p in name[2:].split("+"))
+        fields = {f.name: f.type for f in
+                  dataclasses.fields(cfg.solver)}
+        conv = {k: (int(v) if "int" in str(fields[k]) else
+                    (v if "str" in str(fields[k]) else float(v)))
+                for k, v in kv.items()}
+        cfg = dataclasses.replace(cfg, solver=dataclasses.replace(
+            cfg.solver, **conv))
+    return cfg
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--frames", type=int, default=150)
+    ap.add_argument("--rings", type=int, default=32)
+    ap.add_argument("--azimuth", type=int, default=1024)
+    ap.add_argument("--variants", default="base")
+    ap.add_argument("--seeds", default="0")
+    ap.add_argument("--dump", default=None,
+                    help="write per-frame diagnostics .npz here")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from velo_tpu.evaluation import kitti_metric
+    from velo_tpu.pipeline import odometry
+
+    rows = []
+    for seed in [int(s) for s in args.seeds.split(",")]:
+        scans, masks, gt_velo, gt_cam, T_cam_velo = get_fixture(
+            args.frames, args.rings, args.azimuth, seed)
+        scans_d = jnp.asarray(scans)
+        masks_d = jnp.asarray(masks)
+
+        for name in args.variants.split(","):
+            cfg = variant_cfg(name, args.rings, args.azimuth)
+            run = jax.jit(lambda c, s, m: odometry.run_scan(c, s, m, cfg))
+            carry = odometry.init_carry(cfg)
+            t0 = time.perf_counter()
+            carry, out = run(carry, scans_d, masks_d)
+            jax.block_until_ready(out.T_w)
+            dt = time.perf_counter() - t0
+            poses_velo = np.asarray(out.T_w)
+            poses_cam = odometry.velo_to_cam_trajectory(poses_velo,
+                                                        T_cam_velo)
+            errs = kitti_metric.evaluate_trajectory(poses_cam, gt_cam)
+            ate = kitti_metric.ate_rmse(poses_cam, gt_cam)
+            F = len(poses_velo)
+            rel_gt = np.asarray([np.linalg.inv(gt_velo[i - 1]) @ gt_velo[i]
+                                 for i in range(1, F)])
+            rel_est = np.asarray(
+                [np.linalg.inv(poses_velo[i - 1]) @ poses_velo[i]
+                 for i in range(1, F)])
+            rel_err = np.asarray([np.linalg.inv(a) @ b
+                                  for a, b in zip(rel_gt, rel_est)])
+            rel = np.linalg.norm(rel_err[:, :3, 3], axis=1)
+            # per-frame rotation error angle (deg)
+            tr = np.clip((np.trace(rel_err[:, :3, :3], axis1=1, axis2=2)
+                          - 1) / 2, -1, 1)
+            rot = np.degrees(np.arccos(tr))
+            row = dict(variant=name, seed=seed,
+                       t_err_pct=round(float(errs.t_err_pct), 3),
+                       r_err_deg=round(float(errs.r_err_deg_per_100m), 3),
+                       ate_m=round(float(ate), 3),
+                       med_rel_err_m=round(float(np.median(rel)), 4),
+                       max_rel_err_m=round(float(rel.max()), 3),
+                       med_rot_err_deg=round(float(np.median(rot)), 4),
+                       worst_frame=int(np.argmax(rel)) + 1,
+                       degenerate=int(np.asarray(out.degenerate)[1:].sum()),
+                       secs=round(dt, 1))
+            rows.append(row)
+            print(json.dumps(row))
+            if args.dump:
+                np.savez_compressed(
+                    f"{args.dump}_{name.replace(':','_')}_s{seed}.npz",
+                    rel=rel, rot=rot,
+                    n_edge=np.asarray(out.n_edge),
+                    n_planar=np.asarray(out.n_planar),
+                    cost=np.asarray(out.cost),
+                    degenerate=np.asarray(out.degenerate),
+                    poses_velo=poses_velo, gt_velo=gt_velo)
+    return rows
+
+
+if __name__ == "__main__":
+    main()

@@ -78,8 +78,12 @@ def build_range_image(
     cell_valid = table != sentinel
     win_idx = jnp.where(cell_valid, table & ((1 << _IDX_BITS) - 1), 0)
 
-    xyz = jnp.where(cell_valid[:, None], pts[win_idx], 0.0).reshape(R, W, 3)
-    out_rng = jnp.where(cell_valid, rng[win_idx], 0.0).reshape(R, W)
-    out_phase = jnp.where(cell_valid, phase[win_idx], 0.0).reshape(R, W)
-    return RangeImage(xyz=xyz, rng=out_rng, phase=out_phase,
+    # One row-gather for all per-point channels: separate 1-D gathers of rng
+    # and phase each cost ~1 ms/frame on the scalar unit (device trace), while
+    # a single (N, 5) row gather moves contiguous lanes per index.
+    vals = jnp.concatenate([pts, rng[:, None], phase[:, None]], axis=-1)
+    win = jnp.where(cell_valid[:, None], vals[win_idx], 0.0)  # (R*W, 5)
+    return RangeImage(xyz=win[:, :3].reshape(R, W, 3),
+                      rng=win[:, 3].reshape(R, W),
+                      phase=win[:, 4].reshape(R, W),
                       valid=cell_valid.reshape(R, W))

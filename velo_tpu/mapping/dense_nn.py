@@ -48,13 +48,28 @@ def knn(targets: TargetSet, queries: jnp.ndarray, qmask: jnp.ndarray,
     Same contract as voxel_hash.knn: returns (idx (Q,k) into targets.pts,
     dist (Q,k), valid (Q,k)); invalid lanes carry large distances.
 
-    ``approx=True`` selects the TPU ApproxTopK custom call (recall ~0.99)
-    — the right trade for *candidate preselection*, where a rarely-missed
+    ``approx=True`` selects an approximate binned search (recall ~0.99) —
+    the right trade for *candidate preselection*, where a rarely-missed
     16th-nearest neighbor cannot move a robust-loss solve, and the exact
-    partial sort over large N dominates the device profile.
+    partial sort over large N dominates the device profile.  When shapes
+    allow it this routes to the fused Pallas dist+top-k kernel
+    (pallas/dist_topk.py), which never materializes the Q x N distance
+    field; otherwise the ApproxTopK custom call over an MXU matmul.
     """
     t = targets.pts
     q = queries
+    if approx and t.shape[0] % 256 == 0 and t.shape[0] >= 16 * k:
+        from velo_tpu.pallas import dist_topk as dtk
+
+        bf = 16 if t.shape[0] >= 16384 else 4
+        d2, idx = dtk.dist_topk(
+            t, targets.mask, q, k=k, bin_factor=bf,
+            interpret=jax.default_backend() != "tpu",
+        )
+        d2 = jnp.where(qmask[:, None], d2, 1e30)
+        valid = d2 <= max_dist * max_dist
+        dist = jnp.sqrt(jnp.minimum(d2, 1e12))
+        return idx, dist, valid
     # |q - t|^2 = |q|^2 - 2 q.t + |t|^2 ; the cross term is the MXU matmul.
     cross = lax.dot_general(
         q, t, (((1,), (1,)), ((), ())),

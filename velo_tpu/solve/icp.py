@@ -104,6 +104,19 @@ def build_candidates(targets: TargetSet, queries: jnp.ndarray,
     )
 
 
+def _select_rows(x: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """``take_along_axis(x, idx[...,None], 1)`` as a one-hot contraction.
+
+    x: (Q, C, D), idx: (Q, K) -> (Q, K, D).  Arbitrary-index gathers inside
+    the outer ICP loop serialize on the TPU scalar unit (~1 ms/frame total in
+    the device trace); with C = 16 candidate lanes a one-hot multiply-sum is
+    pure VPU work and fuses with its consumers.
+    """
+    onehot = (idx[..., None] ==
+              jnp.arange(x.shape[1], dtype=idx.dtype)).astype(x.dtype)
+    return jnp.einsum("qkc,qcd->qkd", onehot, x)
+
+
 def _cand_query(cache: CandCache, cfg: SolverConfig):
     """query(p, mask, k) re-ranking only the cached candidates."""
 
@@ -113,10 +126,12 @@ def _cand_query(cache: CandCache, cfg: SolverConfig):
         d2 = jnp.where(cache.ok & mask[:, None], d2, jnp.inf)
         neg, top = jax.lax.top_k(-d2, k)  # (Q, k) over only C=16 lanes
         dist2 = jnp.maximum(-neg, 0.0)
-        nbr = jnp.take_along_axis(cache.pts, top[..., None], axis=1)
-        pay = jnp.take_along_axis(
-            cache.payload, top[..., None], axis=1
-        ) if cache.payload.shape[-1] else cache.payload[:, :k]
+        nbr = _select_rows(cache.pts, top)
+        if cache.payload.shape[-1]:
+            pay = _select_rows(cache.payload.astype(jnp.float32), top)
+            pay = pay.astype(cache.payload.dtype)
+        else:
+            pay = cache.payload[:, :k]
         valid = jnp.isfinite(dist2) & (dist2 <= cfg.corr_max_dist**2)
         dist = jnp.sqrt(jnp.where(jnp.isfinite(dist2), dist2, 1e12))
         return nbr, pay, dist, valid
@@ -171,7 +186,7 @@ def _edge_lines_2pt(query, p, mask):
     j_b = jnp.argmin(jnp.where(diff, order, _BIG), axis=1)
     b_ok = jnp.any(diff, axis=1)
     a = nbr[:, 0]
-    b = jnp.take_along_axis(nbr, j_b[:, None, None], axis=1)[:, 0]
+    b = _select_rows(nbr, j_b[:, None])[:, 0]
     return a, b, mask & a_ok & b_ok
 
 
