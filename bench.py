@@ -22,61 +22,91 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 
-from velo_tpu.config import LidarConfig, VeloConfig  # noqa: E402
+from velo_tpu.config import LidarConfig, VeloConfig, VisionConfig  # noqa: E402
+from velo_tpu.geom import camera as cam_mod  # noqa: E402
 from velo_tpu.io import fixtures, kitti  # noqa: E402
 from velo_tpu.pipeline import odometry  # noqa: E402
 
 N_FRAMES = 10
 RINGS, AZ = 64, 2048
-CACHE = os.environ.get("VELO_BENCH_CACHE", "/tmp/velo_bench_frames.npz")
+IMG_H, IMG_W = 192, 640  # KITTI-like grayscale camera, full scale
+# "fused" benches config 4 (vision-enhanced, the north-star pipeline);
+# "lidar" benches configs 1-2.
+MODE = os.environ.get("VELO_BENCH_MODE", "fused")
+CACHE = os.environ.get("VELO_BENCH_CACHE",
+                       f"/tmp/velo_bench_frames_{MODE}.npz")
 BASELINE_FPS = 100.0
 
 
-def get_frames(cfg):
+def get_frames(cfg, with_images):
     if os.path.exists(CACHE):
         d = np.load(CACHE)
-        if d["scans"].shape[0] == N_FRAMES and d["scans"].shape[1] == cfg.n_max_points:
-            return d["scans"], d["masks"]
+        if (d["scans"].shape[0] == N_FRAMES
+                and d["scans"].shape[1] == cfg.n_max_points
+                and (not with_images or "images" in d)):
+            return (d["scans"], d["masks"],
+                    d["images"] if with_images else None,
+                    d["P"], d["T_cam_velo"])
     fx = fixtures.make_fixture(
-        n_frames=N_FRAMES, n_rings=RINGS, n_azimuth=AZ, with_images=False,
-        speed=8.0,
+        n_frames=N_FRAMES, n_rings=RINGS, n_azimuth=AZ,
+        height=IMG_H, width=IMG_W, with_images=with_images, speed=8.0,
     )
     padded = [kitti.pad_scan(s, cfg.n_max_points) for s in fx.scans]
     scans = np.stack([p[0] for p in padded])
     masks = np.stack([p[1] for p in padded])
-    np.savez_compressed(CACHE, scans=scans, masks=masks)
-    return scans, masks
+    extra = {"images": fx.images} if with_images else {}
+    np.savez_compressed(CACHE, scans=scans, masks=masks, P=fx.P,
+                        T_cam_velo=fx.T_cam_velo, **extra)
+    return scans, masks, (fx.images if with_images else None), fx.P, \
+        fx.T_cam_velo
 
 
 def main():
+    fused = MODE == "fused"
     cfg = VeloConfig(
         lidar=LidarConfig(n_rings=RINGS, n_azimuth=AZ),
-        use_vision=False,  # LiDAR odometry throughput (north-star config)
+        vision=VisionConfig(height=IMG_H, width=IMG_W),
+        use_vision=fused,
         use_map=True,
     )
-    scans_np, masks_np = get_frames(cfg)
+    scans_np, masks_np, images_np, P, T_cam_velo = get_frames(cfg, fused)
     scans = jnp.asarray(scans_np)
     masks = jnp.asarray(masks_np)
+    images = jnp.asarray(images_np, jnp.float32) if fused else None
+    cam = cam_mod.Camera(
+        P=jnp.asarray(P, jnp.float32),
+        T_cam_velo=jnp.asarray(T_cam_velo, jnp.float32),
+        width=IMG_W, height=IMG_H,
+    ) if fused else None
 
-    run = jax.jit(
-        lambda c, s, m: odometry.run_scan(c, s, m, cfg), donate_argnums=(0,)
-    )
+    if fused:
+        run = jax.jit(
+            lambda c, s, m, im: odometry.run_scan(c, s, m, cfg, images=im,
+                                                  cam=cam),
+            donate_argnums=(0,),
+        )
+        args = lambda: (odometry.init_carry(cfg), scans, masks, images)
+    else:
+        run = jax.jit(
+            lambda c, s, m: odometry.run_scan(c, s, m, cfg),
+            donate_argnums=(0,),
+        )
+        args = lambda: (odometry.init_carry(cfg), scans, masks)
+
     # Warmup / compile.
-    carry = odometry.init_carry(cfg)
-    carry, out = run(carry, scans, masks)
+    carry, out = run(*args())
     jax.block_until_ready(out.T_w)
 
     best = float("inf")
     for _ in range(3):
-        carry = odometry.init_carry(cfg)
         t0 = time.perf_counter()
-        carry, out = run(carry, scans, masks)
+        carry, out = run(*args())
         jax.block_until_ready(out.T_w)
         best = min(best, time.perf_counter() - t0)
 
     fps = N_FRAMES / best
     print(json.dumps({
-        "metric": "odometry_frames_per_sec",
+        "metric": f"odometry_frames_per_sec_{MODE}",
         "value": round(fps, 2),
         "unit": "frames/s",
         "vs_baseline": round(fps / BASELINE_FPS, 3),

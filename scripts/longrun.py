@@ -22,8 +22,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
-def get_fixture(frames, rings, az, seed=0):
-    cache = f"/tmp/velo_longrun_{frames}_{rings}_{az}_{seed}.npz"
+def get_fixture(frames, rings, az, seed=0, distorted=True):
+    tag = "" if distorted else "_nodist"
+    cache = f"/tmp/velo_longrun_{frames}_{rings}_{az}_{seed}{tag}.npz"
     from velo_tpu.io import fixtures, kitti
 
     n_max = rings * az
@@ -31,15 +32,30 @@ def get_fixture(frames, rings, az, seed=0):
         d = np.load(cache)
         return d["scans"], d["masks"], d["gt_velo"], d["gt_cam"], d["T_cam_velo"]
     print(f"simulating {frames} frames at {rings}x{az}…", file=sys.stderr)
-    fx = fixtures.make_fixture(n_frames=frames, n_rings=rings, n_azimuth=az,
-                               with_images=False, speed=8.0, seed=seed)
-    padded = [kitti.pad_scan(s, n_max) for s in fx.scans]
+    if distorted:
+        fx = fixtures.make_fixture(n_frames=frames, n_rings=rings,
+                                   n_azimuth=az, with_images=False,
+                                   speed=8.0, seed=seed)
+        raw, gt_velo, gt_cam, T_cv = (fx.scans, fx.gt_poses_velo,
+                                      fx.gt_poses_cam, fx.T_cam_velo)
+    else:
+        world = fixtures.default_world(seed)
+        rng = np.random.default_rng(seed + 1)
+        poses = fixtures.make_trajectory(frames + 1, speed=8.0, seed=seed + 2)
+        raw = [fixtures.simulate_velodyne(world, poses[i], poses[i],
+                                          n_rings=rings, n_azimuth=az,
+                                          rng=rng) for i in range(frames)]
+        _, T_cv = fixtures.default_calib(128, 384)
+        gt_velo = poses[:frames]
+        T0 = gt_velo[0] @ np.linalg.inv(T_cv)
+        gt_cam = np.einsum("ij,fjk,kl->fil", np.linalg.inv(T0), gt_velo,
+                           np.linalg.inv(T_cv))
+    padded = [kitti.pad_scan(s, n_max) for s in raw]
     scans = np.stack([p[0] for p in padded])
     masks = np.stack([p[1] for p in padded])
     np.savez_compressed(cache, scans=scans, masks=masks,
-                        gt_velo=fx.gt_poses_velo, gt_cam=fx.gt_poses_cam,
-                        T_cam_velo=fx.T_cam_velo)
-    return scans, masks, fx.gt_poses_velo, fx.gt_poses_cam, fx.T_cam_velo
+                        gt_velo=gt_velo, gt_cam=gt_cam, T_cam_velo=T_cv)
+    return scans, masks, gt_velo, gt_cam, T_cv
 
 
 def variant_cfg(name, rings, az):
@@ -67,9 +83,17 @@ def variant_cfg(name, rings, az):
         kv = dict(p.split("=") for p in name[2:].split("+"))
         fields = {f.name: f.type for f in
                   dataclasses.fields(cfg.solver)}
-        conv = {k: (int(v) if "int" in str(fields[k]) else
-                    (v if "str" in str(fields[k]) else float(v)))
-                for k, v in kv.items()}
+        def _c(k, v):
+            ty = str(fields[k])
+            if "bool" in ty:
+                return v in ("1", "true", "True")
+            if "int" in ty:
+                return int(v)
+            if "str" in ty:
+                return v
+            return float(v)
+
+        conv = {k: _c(k, v) for k, v in kv.items()}
         cfg = dataclasses.replace(cfg, solver=dataclasses.replace(
             cfg.solver, **conv))
     return cfg
@@ -84,6 +108,8 @@ def main():
     ap.add_argument("--seeds", default="0")
     ap.add_argument("--dump", default=None,
                     help="write per-frame diagnostics .npz here")
+    ap.add_argument("--nodistort", action="store_true",
+                    help="undistorted scans + deskew off (oracle ceiling)")
     args = ap.parse_args()
 
     import jax
@@ -95,12 +121,15 @@ def main():
     rows = []
     for seed in [int(s) for s in args.seeds.split(",")]:
         scans, masks, gt_velo, gt_cam, T_cam_velo = get_fixture(
-            args.frames, args.rings, args.azimuth, seed)
+            args.frames, args.rings, args.azimuth, seed,
+            distorted=not args.nodistort)
         scans_d = jnp.asarray(scans)
         masks_d = jnp.asarray(masks)
 
         for name in args.variants.split(","):
             cfg = variant_cfg(name, args.rings, args.azimuth)
+            if args.nodistort:
+                cfg = dataclasses.replace(cfg, use_deskew=False)
             run = jax.jit(lambda c, s, m: odometry.run_scan(c, s, m, cfg))
             carry = odometry.init_carry(cfg)
             t0 = time.perf_counter()

@@ -127,3 +127,37 @@ def test_config5_batched_sequences(fx):
     np.testing.assert_allclose(
         np.asarray(bout.T_w[0]), np.asarray(bout.T_w[1]), atol=0
     )
+
+
+@pytest.mark.slow
+def test_vision_wins_in_degenerate_corridor():
+    """The "vision-enhanced" claim, tested where it must matter: in a
+    featureless straight corridor every LiDAR surface normal is
+    perpendicular to travel, so point-to-plane says nothing about forward
+    motion and LiDAR-only underestimates it badly.  The camera still sees
+    the textured walls; fused (reprojection with LiDAR depth + epipolar)
+    must recover the forward scale."""
+    world = fixtures.corridor_world()
+    fxp = fixtures.make_fixture(
+        n_frames=12, n_rings=RINGS, n_azimuth=AZ, height=128, width=384,
+        with_images=True, speed=8.0, seed=11, world=world,
+        yaw_rate=0.0, wiggle_scale=0.0,
+    )
+    cfg_kw = dict(
+        lidar=LidarConfig(n_rings=RINGS, n_azimuth=AZ),
+        vision=VisionConfig(height=128, width=384, k_tracks=128,
+                            grid_cols=24),
+        map=MapConfig(edge_capacity=8192, planar_capacity=16384),
+        n_max_points=RINGS * AZ,
+        use_map=True,
+    )
+    cfg_l = VeloConfig(use_vision=False, **cfg_kw)
+    cfg_f = VeloConfig(use_vision=True, **cfg_kw)
+
+    est_l, _ = _run(fxp, cfg_l)
+    est_f, _ = _run(fxp, cfg_f, with_images=True)
+    # Forward (x) progress error per frame: LiDAR-only cannot observe it.
+    fwd_err_l = np.abs(np.diff(est_l[:, 0, 3]) - np.diff(fxp.gt_poses_velo[:, 0, 3]))
+    fwd_err_f = np.abs(np.diff(est_f[:, 0, 3]) - np.diff(fxp.gt_poses_velo[:, 0, 3]))
+    assert np.median(fwd_err_f) < 0.5 * np.median(fwd_err_l), (
+        np.median(fwd_err_f), np.median(fwd_err_l))

@@ -1,0 +1,91 @@
+"""Checkpoint/resume round-trip + map_every cadence + plots (SURVEY.md §5)."""
+import os
+
+import numpy as np
+import pytest
+
+from velo_tpu.config import (LidarConfig, MapConfig, SolverConfig, VeloConfig)
+from velo_tpu.io import fixtures, kitti
+from velo_tpu.pipeline import checkpoint as ckpt
+from velo_tpu.pipeline import odometry
+
+
+def tiny_cfg(**kw):
+    d = dict(
+        lidar=LidarConfig(n_rings=16, n_azimuth=256, n_sectors=8),
+        solver=SolverConfig(hash_capacity=1024, icp_iters_odom=2,
+                            icp_iters_map=2, icp_iters_redeskew=1,
+                            lm_iters=2),
+        map=MapConfig(edge_capacity=1024, planar_capacity=2048),
+        n_max_points=4096,
+        use_vision=False,
+        use_map=True,
+    )
+    d.update(kw)
+    return VeloConfig(**d)
+
+
+@pytest.fixture(scope="module")
+def frames():
+    fx = fixtures.make_fixture(n_frames=6, n_rings=16, n_azimuth=256,
+                               with_images=False)
+    return [kitti.pad_scan(s, 4096) for s in fx.scans], fx
+
+
+def test_carry_roundtrip(tmp_path, frames):
+    cfg = tiny_cfg()
+    carry = odometry.init_carry(cfg)
+    path = str(tmp_path / "carry.npz")
+    ckpt.save_carry(path, carry, frame_idx=0)
+    loaded = ckpt.load_carry(path, odometry.init_carry(cfg))
+    import jax
+
+    for a, b in zip(jax.tree.leaves(carry), jax.tree.leaves(loaded)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert ckpt.checkpoint_frame(path) == 0
+
+
+def test_structure_mismatch_rejected(tmp_path, frames):
+    cfg = tiny_cfg()
+    path = str(tmp_path / "carry.npz")
+    ckpt.save_carry(path, odometry.init_carry(cfg), frame_idx=0)
+    other = tiny_cfg(map=MapConfig(edge_capacity=512, planar_capacity=1024))
+    with pytest.raises(ValueError):
+        ckpt.load_carry(path, odometry.init_carry(other))
+
+
+def test_resume_matches_uninterrupted(tmp_path, frames):
+    seq, fx = frames
+    cfg = tiny_cfg()
+    path = str(tmp_path / "ck.npz")
+
+    full, _ = odometry.run_sequence_host(seq, cfg)
+    # First run: checkpoint after every 3 frames, stop after 3.
+    odometry.run_sequence_host(seq[:3], cfg, checkpoint_path=path,
+                               checkpoint_every=3)
+    assert ckpt.checkpoint_frame(path) == 3
+    tail, _ = odometry.run_sequence_host(seq, cfg, checkpoint_path=path,
+                                         resume=True)
+    assert tail.shape[0] == len(seq) - 3
+    np.testing.assert_allclose(tail, full[3:], atol=1e-5)
+
+
+def test_map_every_cadence(frames):
+    seq, fx = frames
+    cfg = tiny_cfg(map=MapConfig(edge_capacity=1024, planar_capacity=2048,
+                                 map_every=2))
+    est, diag = odometry.run_sequence_host(seq, cfg)
+    assert est.shape == (len(seq), 4, 4)
+    assert np.all(np.isfinite(est))
+
+
+def test_plot_trajectory_writes_files(tmp_path, frames):
+    from velo_tpu.evaluation import plots
+
+    _, fx = frames
+    gt = fx.gt_poses_cam
+    est = gt.copy()
+    est[:, 0, 3] += np.linspace(0, 0.1, len(gt))
+    written = plots.plot_trajectory(str(tmp_path), "toy", est, gt)
+    assert all(os.path.exists(p) for p in written)
+    assert len(written) == 2

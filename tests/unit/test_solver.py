@@ -45,8 +45,9 @@ def test_fit_plane_eig(rng):
     xy = rng.normal(size=(8, 5, 2)).astype(np.float32)
     z = 2 * xy[..., 0] - xy[..., 1] + 3
     pts = jnp.asarray(np.concatenate([xy, z[..., None]], axis=-1))
-    n, d, ok = res.fit_plane_eig(pts, jnp.ones((8, 5), bool))
+    n, d, ok, q = res.fit_plane_eig(pts, jnp.ones((8, 5), bool))
     assert np.asarray(ok).all()
+    assert np.asarray(q).min() > 0.9  # exact planes -> quality ~ 1
     n_ref = np.array([2.0, -1.0, -1.0]) / np.sqrt(6)
     for i in range(8):
         ni = np.asarray(n[i])
@@ -61,8 +62,9 @@ def test_fit_line_eig(rng):
     t = rng.normal(size=(6, 5, 1)).astype(np.float32) * 3
     d0 = np.array([1.0, 2.0, -1.0]) / np.sqrt(6)
     pts = jnp.asarray(t * d0 + np.array([5.0, 0.0, 1.0]))
-    mu, direction, ok = res.fit_line_eig(pts, jnp.ones((6, 5), bool))
+    mu, direction, ok, q = res.fit_line_eig(pts, jnp.ones((6, 5), bool))
     assert np.asarray(ok).all()
+    assert np.asarray(q).min() > 0.9  # exact lines -> quality ~ 1
     for i in range(6):
         di = np.asarray(direction[i])
         assert abs(abs(di @ d0) - 1.0) < 1e-3

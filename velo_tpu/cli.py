@@ -39,6 +39,14 @@ def build_parser():
     p.add_argument("--azimuth", type=int, default=None)
     p.add_argument("--json", action="store_true",
                    help="print a machine-readable result line")
+    p.add_argument("--checkpoint", default=None,
+                   help="carry checkpoint file (crash recovery)")
+    p.add_argument("--checkpoint-every", type=int, default=0,
+                   help="dump the odometry carry every N frames")
+    p.add_argument("--resume", action="store_true",
+                   help="resume from --checkpoint, skipping done frames")
+    p.add_argument("--plot", action="store_true",
+                   help="write trajectory + drift plots next to the poses")
     return p
 
 
@@ -130,7 +138,9 @@ def main(argv=None):
         seq_name = args.seq
 
     t0 = time.perf_counter()
-    poses_velo, diag = odometry.run_sequence_host(frames, cfg, cam=cam)
+    poses_velo, diag = odometry.run_sequence_host(
+        frames, cfg, cam=cam, checkpoint_path=args.checkpoint,
+        checkpoint_every=args.checkpoint_every, resume=args.resume)
     dt = time.perf_counter() - t0
     fps = len(poses_velo) / dt
 
@@ -158,6 +168,12 @@ def main(argv=None):
             f"({errs.n_segments} segments); ATE {ate:.3f} m",
             file=sys.stderr,
         )
+    if args.plot:
+        from velo_tpu.evaluation import plots
+
+        written = plots.plot_trajectory(args.out, seq_name, poses_cam,
+                                        gt_cam)
+        print("plots: " + ", ".join(written), file=sys.stderr)
     if args.json:
         print(json.dumps(result))
     return 0

@@ -57,6 +57,8 @@ class VisionConfig:
     fb_max_err: float = 1.0  # forward-backward consistency gate (px)
     min_corner_response: float = 1e-4
     depth_grid_cell: int = 4  # pixel bucket size for LiDAR depth association
+    depth_search_cells: int = 1  # bucket search radius: (2s+1)^2 neighborhood
+    # (raise to 2-3 for sparse-ring LiDAR where projected rows are far apart)
     max_depth_spread: float = 1.0  # reject depth interp across discontinuity (m)
 
 
@@ -65,6 +67,9 @@ class SolverConfig:
     """Correspondence + joint LM solve (C9/C10/C12)."""
 
     nn_engine: str = "dense"  # "dense" (MXU matmul top-k) | "hash" (C9 grid)
+    nn_approx_impl: str = "pallas"  # "pallas" (fused dist+topk) | "xla"
+    reuse_candidates: bool = True  # share the per-frame candidate cache
+    # between the pre- and post-redeskew scan-to-scan solves
     voxel_size: float = 1.0  # correspondence voxel-hash cell (m)
     hash_capacity: int = 8192  # voxel table slots (power of two)
     voxel_occupancy: int = 8  # max points stored per voxel
@@ -81,7 +86,19 @@ class SolverConfig:
     huber_delta_icp: float = 0.10  # meters
     huber_delta_repr: float = 1.5  # pixels
     vis_weight: float = 0.3  # relative weight of reprojection residuals
+    vis_pregate_px: float = 6.0  # cull depth landmarks whose reprojection at
+    # the predicted pose is already off by this many pixels (wrong depth)
+    epi_weight: float = 0.02  # weight of depth-unknown epipolar residuals
+    # (pixel-scale residuals with ~fx px/rad leverage: keep small so hundreds
+    # of tracks refine rotation without overpowering the LiDAR blocks)
     converge_tol: float = 1e-4  # pose-delta convergence mask threshold
+    # Constant-velocity motion prior in the joint cost: r = log(T T_pred^-1)
+    # with these diagonal weights.  Sized so healthy frames (hundreds of
+    # well-conditioned correspondences, H_rot ~ 1e4-1e5) barely feel it while
+    # correspondence-starved frames get pulled to the prediction instead of
+    # latching a 2-6 deg rotation error (the dominant long-run drift source).
+    prior_weight_trans: float = 50.0  # 1/sigma^2, sigma ~ 0.14 m/frame^2
+    prior_weight_rot: float = 5000.0  # 1/sigma^2, sigma ~ 0.014 rad/frame^2
     # Plausibility gates (failure containment, SURVEY.md §5): a solve whose
     # result deviates from the constant-velocity prediction by more than
     # physics allows between 10 Hz frames is rejected in favor of the prior,

@@ -85,6 +85,32 @@ def default_world(seed: int = 0) -> BoxWorld:
     )
 
 
+def corridor_world(length: float = 300.0, half_width: float = 5.0,
+                   wall_height: float = 6.0) -> BoxWorld:
+    """A featureless straight corridor: ground + two long parallel walls.
+
+    LiDAR's nightmare geometry — every surface normal is perpendicular to
+    the direction of travel, so point-to-plane constraints say nothing about
+    forward motion (and the walls' uniformity starves edge features).  The
+    camera still sees the procedurally textured walls, making this the
+    fixture where the "vision-enhanced" fusion must demonstrably win.
+    """
+    mins = [
+        [-20.0, -half_width - 3.0, -2.5],  # ground
+        [-20.0, half_width, -1.73],  # left wall
+        [-20.0, -half_width - 1.0, -1.73],  # right wall
+    ]
+    maxs = [
+        [length, half_width + 3.0, -1.73],
+        [length, half_width + 1.0, -1.73 + wall_height],
+        [length, -half_width, -1.73 + wall_height],
+    ]
+    albedo = [0.55, 0.6, 0.5]
+    return BoxWorld(np.asarray(mins, np.float64),
+                    np.asarray(maxs, np.float64),
+                    np.asarray(albedo, np.float64))
+
+
 def raycast(world: BoxWorld, origins: np.ndarray, dirs: np.ndarray,
             t_max: float = 1e4):
     """Batch ray/box intersection (slab method).
@@ -125,7 +151,8 @@ def raycast(world: BoxWorld, origins: np.ndarray, dirs: np.ndarray,
 
 
 def make_trajectory(n_frames: int, dt: float = 0.1, speed: float = 8.0,
-                    yaw_rate: float = 0.04, seed: int = 1) -> np.ndarray:
+                    yaw_rate: float = 0.04, seed: int = 1,
+                    wiggle_scale: float = 0.01) -> np.ndarray:
     """(F,4,4) velodyne-frame world poses: forward arc with gentle yaw wiggle."""
     rng = np.random.default_rng(seed)
     poses = np.zeros((n_frames, 4, 4))
@@ -137,7 +164,7 @@ def make_trajectory(n_frames: int, dt: float = 0.1, speed: float = 8.0,
             [[c, -s, 0.0, x], [s, c, 0.0, y], [0.0, 0.0, 1.0, 0.0],
              [0.0, 0.0, 0.0, 1.0]]
         )
-        yaw += (yaw_rate * np.sin(0.15 * i) + 0.01 * wiggle[i]) * dt * 10
+        yaw += (yaw_rate * np.sin(0.15 * i) + wiggle_scale * wiggle[i]) * dt * 10
         x += speed * dt * np.cos(yaw)
         y += speed * dt * np.sin(yaw)
     return poses
@@ -303,11 +330,14 @@ def make_fixture(
     noise_std: float = 0.0,
     seed: int = 0,
     world: Optional[BoxWorld] = None,
+    yaw_rate: float = 0.04,
+    wiggle_scale: float = 0.01,
 ) -> Fixture:
     """Simulate a short KITTI-like drive with exact ground truth."""
     world = world if world is not None else default_world(seed)
     rng = np.random.default_rng(seed + 1)
-    poses = make_trajectory(n_frames + 1, speed=speed, seed=seed + 2)
+    poses = make_trajectory(n_frames + 1, speed=speed, seed=seed + 2,
+                            yaw_rate=yaw_rate, wiggle_scale=wiggle_scale)
     P, T_cam_velo = default_calib(height, width)
 
     scans, images = [], []

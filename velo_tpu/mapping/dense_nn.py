@@ -42,7 +42,8 @@ def make_targets(pts, mask, payload=None) -> TargetSet:
 
 
 def knn(targets: TargetSet, queries: jnp.ndarray, qmask: jnp.ndarray,
-        k: int, max_dist: float, approx: bool = False):
+        k: int, max_dist: float, approx: bool = False,
+        approx_impl: str = "pallas"):
     """Masked kNN via one distance matmul + top_k.
 
     Same contract as voxel_hash.knn: returns (idx (Q,k) into targets.pts,
@@ -58,7 +59,8 @@ def knn(targets: TargetSet, queries: jnp.ndarray, qmask: jnp.ndarray,
     """
     t = targets.pts
     q = queries
-    if approx and t.shape[0] % 256 == 0 and t.shape[0] >= 16 * k:
+    if (approx and approx_impl == "pallas" and t.shape[0] % 256 == 0
+            and t.shape[0] >= 16 * k):
         from velo_tpu.pallas import dist_topk as dtk
 
         bf = 16 if t.shape[0] >= 16384 else 4

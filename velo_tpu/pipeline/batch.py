@@ -1,0 +1,77 @@
+"""Config-5: batched multi-sequence odometry, optionally sharded over a mesh.
+
+The reference processes one KITTI sequence per process run; the batched
+benchmark treats sequences as a leading batch dimension over the jitted
+``run_scan`` (vmap), and — since sequences are fully independent — shards
+that dimension over whatever devices exist (pure data parallelism over ICI;
+no per-step collectives are needed or used).  This is the scaling story of
+SURVEY.md §2's parallelism table made user-facing.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from velo_tpu.config import VeloConfig
+from velo_tpu.pipeline import odometry
+
+
+def batched_run_scan(cfg: VeloConfig):
+    """vmap'd device-resident sequence runner: (B,F,N,4) -> (B,F,4,4)."""
+
+    def run(bcarry, bscans, bmasks):
+        return jax.vmap(
+            lambda c, s, m: odometry.run_scan(c, s, m, cfg)
+        )(bcarry, bscans, bmasks)
+
+    return run
+
+
+def run_sequences(scans: np.ndarray, masks: np.ndarray, cfg: VeloConfig,
+                  shard: bool = False):
+    """Run B independent sequences as one batched program.
+
+    Args:
+      scans: (B, F, N_MAX, 4) float32.
+      masks: (B, F, N_MAX) bool.
+      shard: place the batch dimension over all local devices (B must be a
+        multiple of the device count).  With one device this is a no-op.
+
+    Returns:
+      (poses (B, F, 4, 4) numpy, diag dict of (B, F) arrays)
+    """
+    B = scans.shape[0]
+    carry0 = odometry.init_carry(cfg)
+    bcarry = jax.tree.map(
+        lambda x: jnp.broadcast_to(x[None], (B,) + x.shape), carry0
+    )
+    run = batched_run_scan(cfg)
+
+    if shard:
+        devs = jax.devices()
+        n = len(devs)
+        if B % n:
+            raise ValueError(f"batch {B} not divisible by {n} devices")
+        mesh = Mesh(np.array(devs), axis_names=("seq",))
+        sh = NamedSharding(mesh, P("seq"))
+        bcarry = jax.device_put(bcarry, sh)
+        scans_d = jax.device_put(jnp.asarray(scans), sh)
+        masks_d = jax.device_put(jnp.asarray(masks), sh)
+        run = jax.jit(run, in_shardings=(sh, sh, sh),
+                      out_shardings=(sh, sh))
+    else:
+        scans_d = jnp.asarray(scans)
+        masks_d = jnp.asarray(masks)
+        run = jax.jit(run)
+
+    final, out = run(bcarry, scans_d, masks_d)
+    jax.block_until_ready(out.T_w)
+    return np.asarray(out.T_w), {
+        "n_edge": np.asarray(out.n_edge),
+        "n_planar": np.asarray(out.n_planar),
+        "cost": np.asarray(out.cost),
+        "degenerate": np.asarray(out.degenerate),
+    }

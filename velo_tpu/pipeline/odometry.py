@@ -13,6 +13,7 @@ zero host round-trips, or be driven frame-by-frame by a host streaming loop
 """
 from __future__ import annotations
 
+import os
 from functools import partial
 from typing import NamedTuple
 
@@ -119,6 +120,7 @@ def step(carry: OdomCarry, scan: jnp.ndarray, scan_mask: jnp.ndarray,
 
     # 2v) Visual front-end: pyramid + KLT track + reprojection data.
     vis_data = None
+    T_pred = se3.exp(carry.delta)
     if cfg.use_vision:
         vc = cfg.vision
         vcar = carry.vision
@@ -127,13 +129,35 @@ def step(carry: OdomCarry, scan: jnp.ndarray, scan_mask: jnp.ndarray,
         tr = klt_mod.track(vcar.pyr, cur_pyr, vcar.grads, cur_grads,
                            vcar.tracks.uv, vcar.tracks.active, vc)
         table = tracks_mod.after_tracking(vcar.tracks, tr.uv, tr.ok)
+        tracked = table.active & (carry.frame_idx > 0)
+        depth_mask = tracked & vcar.tracks.has_depth
+        # Consensus pre-gate at the predicted pose: a landmark with a wrong
+        # interpolated depth reprojects away from where the *other* tracks
+        # agree it should.  Gate on deviation from the median residual, not
+        # its absolute size — when the prediction itself is wrong (corridor
+        # recovery) every residual is large in the same direction, and that
+        # common mode is signal, not outliers.
+        Y_pred = se3.apply(se3.inv(T_pred)[None],
+                           vcar.tracks.prev_xyz_velo[None])[0]
+        Xc_pred = se3.apply(cam.T_cam_velo[None], Y_pred[None])[0]
+        r_pred, _, ok_pred = icp.res.reprojection(Xc_pred, cam.P, table.uv,
+                                                  depth_mask)
+        big = jnp.float32(1e6)
+        r_m = jnp.where((depth_mask & ok_pred)[:, None], r_pred, big)
+        med = jnp.nanmedian(jnp.where(r_m < big * 0.5, r_m, jnp.nan), axis=0)
+        med = jnp.nan_to_num(med)  # no valid tracks -> gate around zero
+        depth_mask = depth_mask & ok_pred & (
+            jnp.linalg.norm(r_pred - med[None, :], axis=-1)
+            < cfg.solver.vis_pregate_px
+        )
         vis_data = icp.VisData(
             xyz_prev_velo=vcar.tracks.prev_xyz_velo,
             obs_uv=table.uv,
-            mask=table.active & vcar.tracks.has_depth
-            & (carry.frame_idx > 0),
+            mask=depth_mask,
             P=cam.P,
             T_cam_velo=cam.T_cam_velo,
+            uv_prev=vcar.tracks.uv,
+            mask_nodepth=tracked & ~vcar.tracks.has_depth,
         )
 
     # 3) Scan-to-scan joint solve vs previous features (+ visual residuals).
@@ -146,18 +170,22 @@ def step(carry: OdomCarry, scan: jnp.ndarray, scan_mask: jnp.ndarray,
     # One global candidate search per frame, shared by both solves: the
     # redeskew between them moves features far less than the cache's slack
     # radius, so re-running the O(Q*N) search bought nothing (device trace).
-    T_pred = se3.exp(carry.delta)
-    if sc.nn_engine == "dense":
+    if sc.nn_engine == "dense" and sc.reuse_candidates:
         e_cands = icp.build_candidates(edge_targets, feats.edges,
                                        feats.edge_mask, T_pred, sc)
         p_cands = icp.build_candidates(planar_targets, feats.planars,
                                        feats.planar_mask, T_pred, sc)
     else:
         e_cands = p_cands = None
+    # The motion prior only applies once a velocity estimate exists (frames
+    # 0/1 have no prediction; a prior toward zero motion would bias them).
+    prior_scale = (carry.frame_idx >= 2).astype(jnp.float32)
+
     T_rel, diag = icp.solve_scan_to_scan(
         feats.edges, feats.edge_mask, feats.planars, feats.planar_mask,
         edge_targets, planar_targets, T_pred, sc, vis=vis_data,
-        edge_cands=e_cands, planar_cands=p_cands,
+        edge_cands=e_cands, planar_cands=p_cands, prior_T=T_pred,
+        prior_scale=prior_scale,
     )
     # Deskew/solve fixed point: the first solve ran on features deskewed with
     # the *predicted* motion; re-correct them with the solved motion and solve
@@ -190,7 +218,8 @@ def step(carry: OdomCarry, scan: jnp.ndarray, scan_mask: jnp.ndarray,
             feats.edges, feats.edge_mask, feats.planars, feats.planar_mask,
             edge_targets, planar_targets, T_rel, sc, vis=vis_data,
             iters=sc.icp_iters_redeskew,
-            edge_cands=e_cands, planar_cands=p_cands,
+            edge_cands=e_cands, planar_cands=p_cands, prior_T=T_pred,
+            prior_scale=prior_scale,
         )
         # From here on the features are corrected relative to delta1.
         deskew_ref = delta1
@@ -217,10 +246,26 @@ def step(carry: OdomCarry, scan: jnp.ndarray, scan_mask: jnp.ndarray,
         has_map = jnp.sum(carry.edge_map.mask) + jnp.sum(
             carry.planar_map.mask
         ) > 100
-        T_map, diag_m = icp.solve_scan_to_map(
-            feats.edges, feats.edge_mask, feats.planars, feats.planar_mask,
-            e_targets, p_targets, T_w, sc,
-        )
+
+        def _map_solve():
+            return icp.solve_scan_to_map(
+                feats.edges, feats.edge_mask, feats.planars,
+                feats.planar_mask, e_targets, p_targets, T_w, sc,
+                prior_T=T_w, prior_scale=prior_scale,
+            )
+
+        if cfg.map.map_every > 1:
+            # Refinement cadence (C13 "every k frames"): lax.cond keeps the
+            # skipped frames from paying for the map solve.
+            T_map, diag_m = jax.lax.cond(
+                carry.frame_idx % cfg.map.map_every == 0,
+                _map_solve,
+                lambda: (T_w, icp.SolveDiag(
+                    n_edge=jnp.int32(0), n_planar=jnp.int32(0),
+                    cost=jnp.float32(0.0), degenerate=jnp.asarray(True))),
+            )
+        else:
+            T_map, diag_m = _map_solve()
         # The map refinement is a *correction*; a large one means bad
         # correspondences, not a better pose.
         corr = se3.log(se3.inv(T_w) @ T_map)
@@ -330,16 +375,35 @@ def run_scan(carry, scans, scan_masks, cfg: VeloConfig, images=None,
     return jax.lax.scan(body, carry, (scans, scan_masks, images))
 
 
-def run_sequence_host(frames, cfg: VeloConfig, carry=None, cam=None):
+def run_sequence_host(frames, cfg: VeloConfig, carry=None, cam=None,
+                      checkpoint_path=None, checkpoint_every=0,
+                      resume=False):
     """Stream numpy frames through the jitted step (C13 driver).
 
     ``frames`` yields (scan, mask) or (scan, mask, image).
     Returns (poses (F,4,4) numpy, diagnostics dict of numpy arrays).
+
+    With ``checkpoint_path`` + ``checkpoint_every``, the carry pytree is
+    dumped every N frames (crash recovery, SURVEY.md §5); ``resume=True``
+    reloads it and skips the already-processed frames.  Resumed runs return
+    poses only for the frames processed after the checkpoint.
     """
+    from velo_tpu.pipeline import checkpoint as ckpt
+
+    skip = 0
     if carry is None:
         carry = init_carry(cfg)
+    if resume:
+        if not (checkpoint_path and os.path.exists(checkpoint_path)):
+            raise FileNotFoundError(
+                f"--resume requires an existing checkpoint: {checkpoint_path}"
+            )
+        carry = ckpt.load_carry(checkpoint_path, carry)
+        skip = int(np.asarray(carry.frame_idx))
     poses, diags = [], []
-    for frame in frames:
+    for i, frame in enumerate(frames):
+        if i < skip:
+            continue
         scan, mask = frame[0], frame[1]
         image = jnp.asarray(frame[2]) if len(frame) > 2 else None
         carry, out = jit_step(carry, jnp.asarray(scan), jnp.asarray(mask),
@@ -347,6 +411,12 @@ def run_sequence_host(frames, cfg: VeloConfig, carry=None, cam=None):
         poses.append(np.asarray(out.T_w))
         diags.append((int(out.n_edge), int(out.n_planar), float(out.cost),
                       bool(out.degenerate)))
+        if checkpoint_path and checkpoint_every and (
+                (i + 1) % checkpoint_every == 0):
+            # jit_step donates the carry, so snapshot via host copy.
+            ckpt.save_carry(checkpoint_path,
+                            jax.tree.map(np.asarray, carry),
+                            frame_idx=i + 1)
     n_e, n_p, cost, degen = zip(*diags)
     return np.stack(poses), {
         "n_edge": np.asarray(n_e),

@@ -59,9 +59,14 @@ class VisData(NamedTuple):
 
     xyz_prev_velo: jnp.ndarray  # (K, 3)
     obs_uv: jnp.ndarray  # (K, 2)
-    mask: jnp.ndarray  # (K,)
+    mask: jnp.ndarray  # (K,) depth-augmented tracks (reprojection residual)
     P: jnp.ndarray  # (3, 4) camera projection
     T_cam_velo: jnp.ndarray  # (4, 4)
+    # Depth-unknown family (SURVEY.md C10 "without fixed depth"): tracks
+    # whose landmark never got LiDAR depth still constrain rotation via the
+    # epipolar residual between their previous and current observations.
+    uv_prev: jnp.ndarray | None = None  # (K, 2)
+    mask_nodepth: jnp.ndarray | None = None  # (K,)
 
 
 _N_CAND = 16  # candidates precomputed per query (covers pose wander)
@@ -96,6 +101,7 @@ def build_candidates(targets: TargetSet, queries: jnp.ndarray,
     cand_idx, _, cand_ok = dense_nn.knn(
         targets, p0, qmask, k=n_cand,
         max_dist=cfg.corr_max_dist + _CAND_SLACK, approx=True,
+        approx_impl=cfg.nn_approx_impl,
     )
     return CandCache(
         pts=targets.pts[cand_idx],  # (Q, C, 3) gathered once
@@ -198,28 +204,54 @@ def _planar_planes_fit(query, p, mask, k):
     laser ring), which produces arbitrary normals and measurably *biases* the
     odometry objective — found via a cost-at-ground-truth probe.  The PCA fit
     with LOAM-style eigenvalue + flatness gates rejects those configurations.
+
+    Returns (n, d, ok, quality): quality in [0,1] downweights borderline fits
+    in the joint system instead of treating all survivors as equals.
     """
     nbr, _, dist, val = query(p, mask, k)
-    n, d, ok = res.fit_plane_eig(nbr, val)
-    return n, d, ok & mask & (val.sum(axis=1) >= 3)
+    n, d, ok, q = res.fit_plane_eig(nbr, val)
+    return n, d, ok & mask & (val.sum(axis=1) >= 3), q
 
 
 def make_lidar_system(edges, edge_mask, line_a, line_b, line_ok,
                       planars, planar_mask, pl_n, pl_d, pl_ok,
-                      cfg: SolverConfig, vis: "VisData | None" = None):
-    """Closure: T -> (H, g, cost) for fixed lidar (+ visual) correspondences."""
+                      cfg: SolverConfig, vis: "VisData | None" = None,
+                      edge_q=None, planar_q=None, prior_T=None,
+                      prior_scale=None):
+    """Closure: T -> (H, g, cost) for fixed lidar (+ visual) correspondences.
+
+    ``edge_q`` / ``planar_q`` are optional per-correspondence fit-quality
+    weights in [0,1] (eigenvalue crispness/flatness).  ``prior_T`` adds a
+    constant-velocity motion prior ``r = log(T prior_T^-1)`` with diagonal
+    weights from cfg — soft regularization that dominates exactly when the
+    scan offers too few/weak correspondences (the binary plausibility gates
+    only catch the worst cases; starved frames otherwise produce 2-6 deg
+    rotation errors that dominate long-run drift).
+    """
+    w_prior = None
+    if prior_T is not None and (cfg.prior_weight_trans > 0
+                                or cfg.prior_weight_rot > 0):
+        w_prior = jnp.asarray(
+            [cfg.prior_weight_trans] * 3 + [cfg.prior_weight_rot] * 3,
+            jnp.float32,
+        ) * (jnp.float32(1.0) if prior_scale is None else prior_scale)
+        prior_inv = se3.inv(prior_T)
 
     def build(T):
         pe = se3.apply(T[None], edges[None])[0]
         re, dre, oke = res.point_to_line(pe, line_a, line_b,
                                          line_ok & edge_mask)
         we = res.huber_weight(re, cfg.huber_delta_icp) * oke
+        if edge_q is not None:
+            we = we * edge_q
         Je = jnp.einsum("ki,kij->kj", dre, res.point_jacobian(pe))
 
         pp = se3.apply(T[None], planars[None])[0]
         rp, drp, okp = res.point_to_plane(pp, pl_n, pl_d,
                                           pl_ok & planar_mask)
         wp = res.huber_weight(rp, cfg.huber_delta_icp) * okp
+        if planar_q is not None:
+            wp = wp * planar_q
         Jp = jnp.einsum("ki,kij->kj", drp, res.point_jacobian(pp))
 
         H = jnp.einsum("ki,kj->ij", Je * we[:, None], Je) + jnp.einsum(
@@ -229,6 +261,14 @@ def make_lidar_system(edges, edge_mask, line_a, line_b, line_ok,
         cost = jnp.sum(res.huber_cost(re, cfg.huber_delta_icp) * oke) + jnp.sum(
             res.huber_cost(rp, cfg.huber_delta_icp) * okp
         )
+
+        if w_prior is not None:
+            # J = dlog(exp(xi) T prior^-1)/dxi ~ I for the small per-frame
+            # deviations the prior is meant to bound.
+            r_pr = se3.log(T @ prior_inv)
+            H = H + jnp.diag(w_prior)
+            g = g + w_prior * r_pr
+            cost = cost + 0.5 * jnp.sum(w_prior * r_pr * r_pr)
 
         if vis is not None:
             # Reprojection term: r = pi(P, T_cv T^-1 X_prev) - obs, with the
@@ -243,6 +283,11 @@ def make_lidar_system(edges, edge_mask, line_a, line_b, line_ok,
             dX_dxi = jnp.einsum("ij,kjl->kil", A, Jpt)  # (K,3,6)
             Jv = jnp.einsum("kri,kil->krl", dr_dX, dX_dxi)  # (K,2,6)
             rnorm = jnp.linalg.norm(rv, axis=-1)
+            # Huber, not a redescending loss: when the motion prediction is
+            # badly wrong (corridor recovery) every visual residual is large
+            # in the SAME direction — a redescending loss would zero exactly
+            # the signal that can pull the solve out.  Wrong-depth outliers
+            # are handled upstream by the consensus pre-gate (odometry.step).
             wv = (
                 res.huber_weight(rnorm, cfg.huber_delta_repr)
                 * okv
@@ -252,6 +297,34 @@ def make_lidar_system(edges, edge_mask, line_a, line_b, line_ok,
             g = g + jnp.einsum("k,kri,kr->i", wv, Jv, rv)
             cost = cost + cfg.vis_weight * jnp.sum(
                 res.huber_cost(rnorm, cfg.huber_delta_repr) * okv
+            )
+
+        if (vis is not None and vis.uv_prev is not None
+                and cfg.epi_weight > 0):
+            # Depth-unknown tracks: point-to-epipolar-line residual.  The
+            # pose enters through M = T_cv T^-1 T_vc (prev cam -> cur cam);
+            # Jacobian via jacfwd over the 6 left-perturbation params — the
+            # track table is tiny, so this costs nothing next to LiDAR.
+            Kmat = vis.P[:3, :3]
+            T_velo_cam = se3.inv(vis.T_cam_velo)
+
+            def _epi(xi, Tb):
+                M = vis.T_cam_velo @ se3.inv(se3.exp(xi) @ Tb) @ T_velo_cam
+                r, ok = res.epipolar(M, Kmat, vis.uv_prev, vis.obs_uv,
+                                     vis.mask_nodepth)
+                return r, ok
+
+            zero = jnp.zeros(6, T.dtype)
+            re_, oke_ = _epi(zero, T)
+            Jep = jax.jacfwd(lambda xi: _epi(xi, T)[0])(zero)  # (K, 6)
+            wep = (
+                res.huber_weight(re_, cfg.huber_delta_repr)
+                * oke_ * cfg.epi_weight
+            )
+            H = H + jnp.einsum("k,ki,kj->ij", wep, Jep, Jep)
+            g = g + jnp.einsum("k,ki,k->i", wep, Jep, re_)
+            cost = cost + cfg.epi_weight * jnp.sum(
+                res.huber_cost(re_, cfg.huber_delta_repr) * oke_
             )
         return H, g, cost
 
@@ -272,6 +345,8 @@ def solve_scan_to_scan(
     vis: Optional[VisData] = None,
     edge_cands: Optional[CandCache] = None,
     planar_cands: Optional[CandCache] = None,
+    prior_T: Optional[jnp.ndarray] = None,
+    prior_scale: Optional[jnp.ndarray] = None,
 ):
     """LOAM odometry solve: current features vs previous-scan feature targets.
 
@@ -293,12 +368,13 @@ def solve_scan_to_scan(
         pe = se3.apply(T[None], cur_edges[None])[0]
         a, b, e_ok = _edge_lines_2pt(eq, pe, cur_edge_mask)
         pp = se3.apply(T[None], cur_planars[None])[0]
-        n, d, p_ok = _planar_planes_fit(pq, pp, cur_planar_mask,
-                                        cfg.map_knn)
+        n, d, p_ok, p_q = _planar_planes_fit(pq, pp, cur_planar_mask,
+                                             cfg.map_knn)
 
         build = make_lidar_system(
             cur_edges, cur_edge_mask, a, b, e_ok,
             cur_planars, cur_planar_mask, n, d, p_ok, cfg, vis=vis,
+            planar_q=p_q, prior_T=prior_T, prior_scale=prior_scale,
         )
         n_e = jnp.sum(e_ok)
         n_p = jnp.sum(p_ok)
@@ -328,6 +404,8 @@ def solve_scan_to_map(
     T_init: jnp.ndarray,
     cfg: SolverConfig,
     iters: Optional[int] = None,
+    prior_T: Optional[jnp.ndarray] = None,
+    prior_scale: Optional[jnp.ndarray] = None,
 ):
     """LOAM mapping solve: eigen line/plane fits over k-NN in the local map."""
     outer = cfg.icp_iters_map if iters is None else iters
@@ -340,19 +418,21 @@ def solve_scan_to_map(
         T, _diag = carry
         pe = se3.apply(T[None], cur_edges[None])[0]
         e_nbr, _, _, e_val = eq(pe, cur_edge_mask, k)
-        mu, direction, l_ok = res.fit_line_eig(e_nbr, e_val)
+        mu, direction, l_ok, e_q = res.fit_line_eig(e_nbr, e_val)
         # Two virtual points on the fitted line.
         a = mu - 0.1 * direction
         b = mu + 0.1 * direction
         e_ok = l_ok & cur_edge_mask
 
         pp = se3.apply(T[None], cur_planars[None])[0]
-        n, d, p_ok = _planar_planes_fit(pq, pp, cur_planar_mask, k)
+        n, d, p_ok, p_q = _planar_planes_fit(pq, pp, cur_planar_mask, k)
         p_ok = p_ok & cur_planar_mask
 
         build = make_lidar_system(
             cur_edges, cur_edge_mask, a, b, e_ok,
             cur_planars, cur_planar_mask, n, d, p_ok, cfg,
+            edge_q=e_q, planar_q=p_q, prior_T=prior_T,
+            prior_scale=prior_scale,
         )
         n_e = jnp.sum(e_ok)
         n_p = jnp.sum(p_ok)

@@ -91,6 +91,43 @@ def reprojection(p_cam: jnp.ndarray, P: jnp.ndarray, obs_uv: jnp.ndarray,
     return r, dr_dp, ok
 
 
+def epipolar(M: jnp.ndarray, K: jnp.ndarray, uv_prev: jnp.ndarray,
+             uv_cur: jnp.ndarray, valid: jnp.ndarray,
+             min_baseline: float = 0.05):
+    """Depth-unknown reprojection family (SURVEY.md C10 "without fixed
+    depth"): point-to-epipolar-line residual for tracks with no LiDAR depth.
+
+    A depth-less track still constrains rotation and the translation
+    *direction* through the epipolar identity x2^T [t]x R x1 = 0, where
+    ``M = [R|t]`` maps previous-camera coordinates into the current camera.
+    The residual is the geometric distance (in pixels, via the focal length)
+    of the current observation to the epipolar line of the previous one:
+
+        E = [t]x R,  l = E x1,  r = fx * (x2 . l) / |l_xy|
+
+    Degenerate when the baseline vanishes (pure rotation leaves E ~ 0): such
+    frames are masked via ``min_baseline``.
+
+    Returns (r (K,), ok (K,)).  The pose Jacobian is taken with ``jacfwd``
+    at the call site — K is the small track capacity, so six forward passes
+    of this function cost nothing next to the LiDAR blocks.
+    """
+    Kinv = jnp.linalg.inv(K)
+    ones = jnp.ones_like(uv_prev[..., :1])
+    x1 = jnp.einsum("ij,kj->ki", Kinv,
+                    jnp.concatenate([uv_prev, ones], axis=-1))
+    x2 = jnp.einsum("ij,kj->ki", Kinv,
+                    jnp.concatenate([uv_cur, ones], axis=-1))
+    R, t = M[:3, :3], M[:3, 3]
+    E = se3.hat(t) @ R  # (3,3) essential matrix
+    l = jnp.einsum("ij,kj->ki", E, x1)  # epipolar lines in cur norm coords
+    ln = jnp.sqrt(l[..., 0] ** 2 + l[..., 1] ** 2)
+    ok = valid & (jnp.linalg.norm(t) > min_baseline) & (ln > 1e-8)
+    fx = K[0, 0]
+    r = fx * jnp.sum(x2 * l, axis=-1) / jnp.maximum(ln, 1e-8)
+    return jnp.where(ok, r, 0.0), ok
+
+
 def huber_weight(r: jnp.ndarray, delta: float) -> jnp.ndarray:
     """IRLS weight of the Huber loss: 1 inside delta, delta/|r| outside."""
     ar = jnp.abs(r)
@@ -127,7 +164,12 @@ def fit_line_eig(pts: jnp.ndarray, mask: jnp.ndarray):
     ok = (evals[..., 2] > 3.0 * evals[..., 1]) & (
         jnp.sum(mask, axis=-1) >= 3
     )
-    return mu[..., 0, :], direction, ok
+    # Crispness in [0,1]: 1 = perfect line, ~0 at the 3:1 gate boundary.
+    quality = jnp.clip(
+        1.0 - 3.0 * evals[..., 1] / jnp.maximum(evals[..., 2], _EPS),
+        0.0, 1.0,
+    )
+    return mu[..., 0, :], direction, ok, quality
 
 
 def fit_plane_eig(pts: jnp.ndarray, mask: jnp.ndarray,
@@ -148,4 +190,9 @@ def fit_plane_eig(pts: jnp.ndarray, mask: jnp.ndarray,
         & (jnp.sum(mask, axis=-1) >= 3)
         & jnp.all(jnp.where(mask, pt_dist, 0.0) < max_pt_dist, axis=-1)
     )
-    return n, d0, ok
+    # Flatness in [0,1]: 1 = perfect plane, ~0 at the 3:1 gate boundary.
+    quality = jnp.clip(
+        1.0 - 3.0 * evals[..., 0] / jnp.maximum(evals[..., 1], _EPS),
+        0.0, 1.0,
+    )
+    return n, d0, ok, quality

@@ -89,20 +89,21 @@ def associate(grid: DepthGrid, feat_uv: jnp.ndarray, feat_mask: jnp.ndarray,
     fc = jnp.clip(feat_uv[:, 0].astype(jnp.int32) // c, 0, cols - 1)
 
     cand_uv, cand_xyz, cand_ok = [], [], []
-    for dy in (-1, 0, 1):
-        for dx in (-1, 0, 1):
+    s = cfg.depth_search_cells
+    for dy in range(-s, s + 1):
+        for dx in range(-s, s + 1):
             r = jnp.clip(fr + dy, 0, rows - 1)
             cc = jnp.clip(fc + dx, 0, cols - 1)
             idx = r * cols + cc
             cand_uv.append(grid.uv[idx])
             cand_xyz.append(grid.xyz[idx])
             cand_ok.append(grid.valid[idx])
-    uv9 = jnp.stack(cand_uv, axis=1)  # (K, 9, 2)
+    uv9 = jnp.stack(cand_uv, axis=1)  # (K, (2s+1)^2, 2)
     xyz9 = jnp.stack(cand_xyz, axis=1)
     ok9 = jnp.stack(cand_ok, axis=1)
 
     d2 = jnp.sum((uv9 - feat_uv[:, None, :]) ** 2, axis=-1)
-    max_px = 2.0 * c
+    max_px = (s + 1.0) * c
     d2 = jnp.where(ok9, d2, jnp.inf)
     neg, top = jax.lax.top_k(-d2, 3)
     near_ok = jnp.isfinite(-neg) & (-neg <= max_px * max_px)

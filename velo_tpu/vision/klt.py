@@ -107,8 +107,14 @@ def track_pyramid(prev_pyr, cur_pyr, prev_grads, uv0, valid,
             prev_pyr[lv], gx, gy, cur_pyr[lv], uv0 / (2.0**lv), uv,
             cfg.klt_halfwin, cfg.klt_iters,
         )
-        ok = ok & lok
-        if lv > 0:
+        # A coarse level that cannot track a feature (patch out of bounds on
+        # the tiny top levels, degenerate gradient) must not kill the track —
+        # the level loop already passes its position through unchanged, and
+        # OpenCV behaves the same way.  Only the finest level's validity
+        # gates, with the forward-backward check as the real failure test.
+        if lv == 0:
+            ok = ok & lok
+        else:
             uv = uv * 2.0
     return uv, ok
 
