@@ -6,7 +6,10 @@ flag.  TPU parity tests opt in with the ``tpu`` marker and a real chip.
 """
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force, don't setdefault: the shell environment here exports
+# JAX_PLATFORMS=axon, which would silently route the whole suite to the
+# real chip (and collide with concurrent TPU jobs through the tunnel).
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

@@ -202,3 +202,71 @@ def test_apply_scaled_exp_matches_matrix_path(rng):
         fast = deskew.apply_scaled_exp(pts, s, xi)
         np.testing.assert_allclose(np.asarray(fast), np.asarray(ref),
                                    atol=2e-4)
+
+
+def test_hdl64e_ring_assignment():
+    """Points generated on the nominal HDL-64E beam table must map back to
+    their generating ring under ring_mode='hdl64e' (uniform interpolation
+    misassigns the lower block)."""
+    from velo_tpu.config import LidarConfig
+    from velo_tpu.lidar import rangeimage as ri_mod
+
+    beams = ri_mod.hdl64e_beam_elevations(64)
+    rng = np.random.default_rng(0)
+    rings = rng.integers(0, 64, 4096)
+    az = rng.uniform(-np.pi, np.pi, 4096)
+    r = rng.uniform(5.0, 40.0, 4096)
+    elev = beams[rings]
+    pts = np.stack([
+        r * np.cos(elev) * np.cos(az),
+        r * np.cos(elev) * np.sin(az),
+        r * np.sin(elev),
+    ], axis=1).astype(np.float32)
+
+    from velo_tpu.lidar import deskew as deskew_mod
+
+    cfg = LidarConfig(n_rings=64, n_azimuth=512, ring_mode="hdl64e")
+    phase = deskew_mod.azimuth_phase(jnp.asarray(pts))
+    ri = ri_mod.build_range_image(jnp.asarray(pts),
+                                  jnp.ones(4096, bool), phase, cfg)
+    # Every stored point must be on its generating ring: reconstruct ring
+    # from stored xyz elevation and compare to the row it landed in.
+    xyz = np.asarray(ri.xyz).reshape(64, 512, 3)
+    valid = np.asarray(ri.valid).reshape(64, 512)
+    rows, cols = np.nonzero(valid)
+    stored = xyz[rows, cols]
+    elev_s = np.arcsin(stored[:, 2] / np.linalg.norm(stored, axis=1))
+    ring_true = np.argmin(np.abs(elev_s[:, None] - beams[None, :]), axis=1)
+    assert np.array_equal(ring_true, rows)
+    assert valid.sum() > 3000  # most points survive
+
+    # Uniform interpolation on the same data misassigns lower-block rings.
+    cfg_lin = LidarConfig(n_rings=64, n_azimuth=512, ring_mode="linear")
+    ri_lin = ri_mod.build_range_image(jnp.asarray(pts),
+                                      jnp.ones(4096, bool), phase, cfg_lin)
+    valid_lin = np.asarray(ri_lin.valid).reshape(64, 512)
+    rows_l, cols_l = np.nonzero(valid_lin)
+    xyz_l = np.asarray(ri_lin.xyz).reshape(64, 512, 3)[rows_l, cols_l]
+    elev_l = np.arcsin(xyz_l[:, 2] / np.linalg.norm(xyz_l, axis=1))
+    ring_true_l = np.argmin(np.abs(elev_l[:, None] - beams[None, :]), axis=1)
+    assert (ring_true_l != rows_l).mean() > 0.2  # demonstrably wrong
+
+
+def test_az_start_phase_convention():
+    """KITTI sweeps start near the rear (az ~ pi): with az_start=pi a point
+    at azimuth pi has phase ~0 and one just clockwise of it phase ~>0."""
+    from velo_tpu.lidar import deskew as deskew_mod
+
+    # Clockwise spin from az_start=pi: pi -> pi/2 -> 0 -> -pi/2 -> -pi.
+    pts = np.asarray([
+        [-10.0, 0.01, 0.0],    # az ~ +pi-eps: first measured
+        [-0.01, 10.0, 0.0],    # az ~ +pi/2: quarter sweep later
+        [10.0, 0.0, 0.0],      # az = 0: half sweep
+        [0.01, -10.0, 0.0],    # az = -pi/2: three quarters
+    ], dtype=np.float32)
+    s = np.asarray(deskew_mod.azimuth_phase(jnp.asarray(pts),
+                                            az_start=float(np.pi)))
+    assert s[0] < 0.01
+    np.testing.assert_allclose(s[1], 0.25, atol=0.01)
+    np.testing.assert_allclose(s[2], 0.5, atol=0.01)
+    np.testing.assert_allclose(s[3], 0.75, atol=0.01)

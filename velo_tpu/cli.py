@@ -47,11 +47,76 @@ def build_parser():
                    help="resume from --checkpoint, skipping done frames")
     p.add_argument("--plot", action="store_true",
                    help="write trajectory + drift plots next to the poses")
+    p.add_argument("--batch", type=int, default=0,
+                   help="config 5: run N synthetic sequences as one batched "
+                        "program (vmap over the jitted scan)")
+    p.add_argument("--shard", action="store_true",
+                   help="shard the --batch dimension over all local devices")
     return p
+
+
+def run_batch_mode(args):
+    """Config-5 driver: N independent synthetic sequences, one program."""
+    import numpy as np
+
+    from velo_tpu.config import LidarConfig, VeloConfig
+    from velo_tpu.evaluation import kitti_metric
+    from velo_tpu.io import fixtures, kitti
+    from velo_tpu.pipeline import batch as batch_mod
+    from velo_tpu.pipeline import odometry
+
+    rings = args.rings or 32
+    az = args.azimuth or 1024
+    cfg = VeloConfig(
+        lidar=LidarConfig(n_rings=rings, n_azimuth=az),
+        use_vision=False,
+        use_map=not args.no_map,
+        use_deskew=not args.no_deskew,
+        n_max_points=rings * az,
+    )
+    print(f"simulating {args.batch} sequences x {args.frames} frames…",
+          file=sys.stderr)
+    scans, masks, gts, tcvs = [], [], [], []
+    for b in range(args.batch):
+        fx = fixtures.make_fixture(n_frames=args.frames, n_rings=rings,
+                                   n_azimuth=az, with_images=False,
+                                   seed=100 + b)
+        padded = [kitti.pad_scan(s, cfg.n_max_points) for s in fx.scans]
+        scans.append(np.stack([p[0] for p in padded]))
+        masks.append(np.stack([p[1] for p in padded]))
+        gts.append(fx.gt_poses_cam)
+        tcvs.append(fx.T_cam_velo)
+    scans = np.stack(scans)
+    masks = np.stack(masks)
+
+    t0 = time.perf_counter()
+    poses, diag = batch_mod.run_sequences(scans, masks, cfg,
+                                          shard=args.shard)
+    dt = time.perf_counter() - t0
+    os.makedirs(args.out, exist_ok=True)
+    rows = []
+    for b in range(args.batch):
+        cam_traj = odometry.velo_to_cam_trajectory(poses[b], tcvs[b])
+        kitti.write_poses(os.path.join(args.out, f"seq{b:02d}.txt"),
+                          cam_traj)
+        ate = kitti_metric.ate_rmse(cam_traj, gts[b])
+        errs = kitti_metric.evaluate_trajectory(cam_traj, gts[b])
+        rows.append({"seq": b, "ate_rmse_m": round(float(ate), 4),
+                     "t_err_pct": (round(float(errs.t_err_pct), 3)
+                                   if errs.n_segments else None)})
+    total_fps = args.batch * args.frames / dt
+    result = {"batch": args.batch, "frames": args.frames,
+              "agg_fps": round(total_fps, 2),
+              "sharded": bool(args.shard), "sequences": rows}
+    print(json.dumps(result))
+    return 0
 
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+
+    if args.batch:
+        return run_batch_mode(args)
 
     import jax.numpy as jnp
 
@@ -95,7 +160,12 @@ def main(argv=None):
         T_cam_velo = fx.T_cam_velo
         seq_name = "synthetic"
     else:
+        import numpy as _np
+
         cfg = VeloConfig(
+            # Real HDL-64E conventions: non-uniform beam table for ring
+            # assignment, sweep start at the rear (~pi azimuth).
+            lidar=LidarConfig(ring_mode="hdl64e", az_start=float(_np.pi)),
             use_vision=use_vision,
             use_map=not args.no_map,
             use_deskew=not args.no_deskew,

@@ -20,6 +20,13 @@ class LidarConfig:
     n_azimuth: int = 2048  # range-image width (azimuth bins per ring)
     elev_max_deg: float = 2.0  # top laser elevation
     elev_min_deg: float = -24.8  # bottom laser elevation
+    ring_mode: str = "linear"  # "linear": ring from uniform elevation
+    # interpolation (synthetic scanner). "hdl64e": nearest beam in the
+    # nominal HDL-64E two-block table (upper 32 lasers ~1/3 deg apart,
+    # lower 32 ~1/2 deg apart) — use for real KITTI .bin scans, where
+    # uniform interpolation misassigns lower-block rings.
+    az_start: float = 0.0  # sweep-start azimuth (rad).  The synthetic
+    # scanner starts at +x (0); real KITTI sweeps start near the rear (~pi).
     min_range: float = 2.5  # drop self-returns closer than this (m)
     max_range: float = 80.0
     # Curvature / feature selection (LOAM-style)
@@ -123,6 +130,9 @@ class MapConfig:
     voxel_planar: float = 0.4
     crop_radius: float = 80.0  # drop map points farther than this from pose
     map_every: int = 1  # run scan-to-map refinement every k frames
+    maintain_every: int = 2  # voxel-dedup/crop cadence: the ring buffer
+    # bounds memory by construction, so density maintenance can run on a
+    # cadence (the sort-based dedup costs ~0.4 ms/frame at full scale)
 
 
 @dataclass(frozen=True)

@@ -13,7 +13,10 @@ nondeterministic duplicate-index scatter.
 """
 from __future__ import annotations
 
+from functools import lru_cache
 from typing import NamedTuple
+
+import numpy as np
 
 import jax.numpy as jnp
 
@@ -22,6 +25,23 @@ from velo_tpu.config import LidarConfig
 _IDX_BITS = 17  # supports up to 131072 raw points
 _RANGE_Q = 100.0  # 1 cm quantization for the winner key
 _RANGE_MAX_Q = (1 << 14) - 1  # 14 bits => 163 m at 1 cm
+
+
+@lru_cache(maxsize=4)
+def hdl64e_beam_elevations(n_rings: int = 64) -> np.ndarray:
+    """Nominal HDL-64E beam elevations (rad), descending (ring 0 = top).
+
+    Two blocks of 32 lasers: upper spans +2.0 to -8.33 deg (~1/3 deg apart),
+    lower spans -8.83 to -24.33 deg (~1/2 deg apart).  Per-unit factory
+    calibration deviates by fractions of a degree; nearest-beam assignment
+    absorbs that.  For n_rings != 64 the pattern is linearly resampled.
+    """
+    upper = np.linspace(2.0, -8.33, 32)
+    lower = np.linspace(-8.83, -24.33, 32)
+    table = np.concatenate([upper, lower])
+    if n_rings != 64:
+        table = np.interp(np.linspace(0, 63, n_rings), np.arange(64), table)
+    return np.deg2rad(table)
 
 
 class RangeImage(NamedTuple):
@@ -53,12 +73,24 @@ def build_range_image(
     safe_rng = jnp.where(ok, rng, 1.0)
 
     elev = jnp.arcsin(jnp.clip(pts[..., 2] / safe_rng, -1.0, 1.0))
-    e_max = jnp.deg2rad(cfg.elev_max_deg)
-    e_min = jnp.deg2rad(cfg.elev_min_deg)
-    ring_f = (e_max - elev) / (e_max - e_min) * (R - 1)
-    ring = jnp.clip(jnp.round(ring_f).astype(jnp.int32), 0, R - 1)
-    # Reject points whose elevation is far outside the laser fan.
-    ok = ok & (ring_f > -1.0) & (ring_f < R)
+    if cfg.ring_mode == "hdl64e":
+        # Nearest beam in the nominal HDL-64E two-block elevation table —
+        # real KITTI scans have non-uniform beam spacing (upper block ~1/3
+        # deg, lower ~1/2 deg), which uniform interpolation misassigns by
+        # several rings near the block boundary.
+        beams = jnp.asarray(hdl64e_beam_elevations(R), jnp.float32)
+        d = jnp.abs(elev[:, None] - beams[None, :])  # (N, R)
+        ring = jnp.argmin(d, axis=1).astype(jnp.int32)
+        gap = jnp.min(d, axis=1)
+        # Reject points falling between beams (noise / other sensors).
+        ok = ok & (gap < jnp.deg2rad(0.6))
+    else:
+        e_max = jnp.deg2rad(cfg.elev_max_deg)
+        e_min = jnp.deg2rad(cfg.elev_min_deg)
+        ring_f = (e_max - elev) / (e_max - e_min) * (R - 1)
+        ring = jnp.clip(jnp.round(ring_f).astype(jnp.int32), 0, R - 1)
+        # Reject points whose elevation is far outside the laser fan.
+        ok = ok & (ring_f > -1.0) & (ring_f < R)
 
     col = jnp.clip((phase * W).astype(jnp.int32), 0, W - 1)
 

@@ -63,7 +63,7 @@ def knn(targets: TargetSet, queries: jnp.ndarray, qmask: jnp.ndarray,
             and t.shape[0] >= 16 * k):
         from velo_tpu.pallas import dist_topk as dtk
 
-        bf = 16 if t.shape[0] >= 16384 else 4
+        bf = 32 if t.shape[0] >= 16384 else 4
         d2, idx = dtk.dist_topk(
             t, targets.mask, q, k=k, bin_factor=bf,
             interpret=jax.default_backend() != "tpu",

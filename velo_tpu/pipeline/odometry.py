@@ -112,7 +112,8 @@ def step(carry: OdomCarry, scan: jnp.ndarray, scan_mask: jnp.ndarray,
 
     # 1) Predict + deskew with the constant-velocity motion model.
     pts3, phase = deskew_mod.deskew(
-        scan[:, :3], carry.delta, enabled=cfg.use_deskew
+        scan[:, :3], carry.delta, az_start=cfg.lidar.az_start,
+        enabled=cfg.use_deskew,
     )
 
     # 2) LiDAR front-end: sparse query set + dense match-target set.
@@ -305,11 +306,24 @@ def step(carry: OdomCarry, scan: jnp.ndarray, scan_mask: jnp.ndarray,
         edge_map = local_map.insert(carry.edge_map, w_edges, tfeats.edge_mask)
         planar_map = local_map.insert(carry.planar_map, w_planars,
                                       tfeats.planar_mask)
-        edge_map = local_map.maintain(edge_map, T_w[:3, 3],
-                                      cfg.map.voxel_edge, cfg.map.crop_radius)
-        planar_map = local_map.maintain(planar_map, T_w[:3, 3],
-                                        cfg.map.voxel_planar,
-                                        cfg.map.crop_radius)
+
+        def _maintain(em, pm):
+            em = local_map.maintain(em, T_w[:3, 3], cfg.map.voxel_edge,
+                                    cfg.map.crop_radius)
+            pm = local_map.maintain(pm, T_w[:3, 3], cfg.map.voxel_planar,
+                                    cfg.map.crop_radius)
+            return em, pm
+
+        if cfg.map.maintain_every > 1:
+            # The ring buffer bounds memory by construction; the sort-based
+            # voxel dedup + crop only needs to run on a cadence.
+            edge_map, planar_map = jax.lax.cond(
+                carry.frame_idx % cfg.map.maintain_every == 0,
+                lambda: _maintain(edge_map, planar_map),
+                lambda: (edge_map, planar_map),
+            )
+        else:
+            edge_map, planar_map = _maintain(edge_map, planar_map)
     else:
         edge_map, planar_map = carry.edge_map, carry.planar_map
 
