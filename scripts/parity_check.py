@@ -31,8 +31,10 @@ cfg = VeloConfig(lidar=LidarConfig(n_rings=32, n_azimuth=1024),
                  use_vision=False, use_map=True, n_max_points=32 * 1024)
 seq = [kitti.pad_scan(s, cfg.n_max_points) for s in fx.scans]
 poses, diag = odometry.run_sequence_host(seq, cfg)
-np.savez(%(out)r, poses=poses, gt=fx.gt_poses_velo)
-print("done", poses.shape)
+import jax
+np.savez(%(out)r, poses=poses, gt=fx.gt_poses_velo,
+         platform=np.asarray(jax.devices()[0].platform))
+print("done", poses.shape, jax.devices()[0].platform)
 """
 
 
@@ -40,6 +42,9 @@ def run_child(platform: str, frames: int, out: str):
     env = dict(os.environ)
     if platform == "cpu":
         env["JAX_PLATFORMS"] = "cpu"
+        # The axon sitecustomize force-registers the TPU platform in every
+        # interpreter; clearing its trigger is the reliable CPU switch.
+        env["PALLAS_AXON_POOL_IPS"] = ""
     else:
         env.pop("JAX_PLATFORMS", None)
     code = _CHILD % {"repo": REPO, "frames": frames, "out": out}
@@ -61,8 +66,11 @@ def main():
     run_child("cpu", args.frames, cpu_out)
     run_child("tpu", args.frames, tpu_out)
 
-    cpu = np.load(cpu_out)["poses"]
-    tpu = np.load(tpu_out)["poses"]
+    dc, dt_ = np.load(cpu_out), np.load(tpu_out)
+    cpu, tpu = dc["poses"], dt_["poses"]
+    plats = (str(dc["platform"]), str(dt_["platform"]))
+    assert plats[0] == "cpu" and plats[1] != "cpu", (
+        f"parity run did not span two platforms: {plats}")
     dt = np.linalg.norm(cpu[:, :3, 3] - tpu[:, :3, 3], axis=1)
     dR = np.asarray([
         np.degrees(np.arccos(np.clip(
@@ -70,6 +78,7 @@ def main():
         for a, b in zip(cpu, tpu)
     ])
     result = {
+        "platforms": list(plats),
         "frames": int(len(cpu)),
         "max_trans_diff_m": round(float(dt.max()), 5),
         "max_rot_diff_deg": round(float(dR.max()), 5),

@@ -10,11 +10,20 @@ import os
 # JAX_PLATFORMS=axon, which would silently route the whole suite to the
 # real chip (and collide with concurrent TPU jobs through the tunnel).
 os.environ["JAX_PLATFORMS"] = "cpu"
+# The axon sitecustomize force-registers the TPU platform at interpreter
+# start when this is set; neutralize it and pin the config so the suite can
+# never land on the real chip (it would also collide with concurrent TPU
+# jobs through the single-client tunnel).
+os.environ["PALLAS_AXON_POOL_IPS"] = ""
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

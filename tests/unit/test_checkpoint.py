@@ -89,3 +89,19 @@ def test_plot_trajectory_writes_files(tmp_path, frames):
     written = plots.plot_trajectory(str(tmp_path), "toy", est, gt)
     assert all(os.path.exists(p) for p in written)
     assert len(written) == 2
+
+
+def test_ct_sweep_pipeline_runs(frames):
+    """Continuous-time sweep solve: pipeline path compiles and stays sane."""
+    import dataclasses
+
+    from velo_tpu.config import SolverConfig
+
+    seq, fx = frames
+    cfg = tiny_cfg()
+    cfg = dataclasses.replace(
+        cfg, solver=dataclasses.replace(cfg.solver, ct_sweep=True))
+    est, diag = odometry.run_sequence_host(seq, cfg)
+    assert est.shape == (len(seq), 4, 4)
+    assert np.all(np.isfinite(est))
+    assert not diag["degenerate"][1:].any()

@@ -106,6 +106,13 @@ class SolverConfig:
     # latching a 2-6 deg rotation error (the dominant long-run drift source).
     prior_weight_trans: float = 50.0  # 1/sigma^2, sigma ~ 0.14 m/frame^2
     prior_weight_rot: float = 5000.0  # 1/sigma^2, sigma ~ 0.014 rad/frame^2
+    # Continuous-time sweep solve (12 DoF): jointly estimate the current
+    # scan's own sweep motion instead of assuming the constant-velocity
+    # prediction — removes the O(acceleration) residual-distortion error
+    # that dominates rotation noise on turning trajectories.
+    ct_sweep: bool = False
+    couple_weight_trans: float = 400.0  # xi2 ~ log(T) coupling, 1/sigma^2
+    couple_weight_rot: float = 20000.0  # sigma ~ 7e-3 rad (accel scale)
     # Plausibility gates (failure containment, SURVEY.md §5): a solve whose
     # result deviates from the constant-velocity prediction by more than
     # physics allows between 10 Hz frames is rejected in favor of the prior,

@@ -182,17 +182,61 @@ def step(carry: OdomCarry, scan: jnp.ndarray, scan_mask: jnp.ndarray,
     # 0/1 have no prediction; a prior toward zero motion would bias them).
     prior_scale = (carry.frame_idx >= 2).astype(jnp.float32)
 
-    T_rel, diag = icp.solve_scan_to_scan(
-        feats.edges, feats.edge_mask, feats.planars, feats.planar_mask,
-        edge_targets, planar_targets, T_pred, sc, vis=vis_data,
-        edge_cands=e_cands, planar_cands=p_cands, prior_T=T_pred,
-        prior_scale=prior_scale,
-    )
+    if cfg.use_deskew and sc.ct_sweep:
+        # Continuous-time path: one 12-DoF solve estimates the pose AND the
+        # scan's own sweep motion (xi2), replacing the redeskew fixed point.
+        T_rel, xi2, diag = icp.solve_scan_to_scan_ct(
+            feats.edges, feats.edge_phase, feats.edge_mask,
+            feats.planars, feats.planar_phase, feats.planar_mask,
+            edge_targets, planar_targets, T_pred, carry.delta, sc,
+            vis=vis_data, edge_cands=e_cands, planar_cands=p_cands,
+            prior_T=T_pred, prior_scale=prior_scale,
+        )
+        # The sweep motion cannot deviate from the inter-frame motion by
+        # more than physical acceleration allows; clamp the deviation so a
+        # weakly-observed xi2 cannot corrupt the stored features or map.
+        base = se3.log(T_rel)
+        dev2 = xi2 - base
+        nt = jnp.linalg.norm(dev2[:3])
+        nr = jnp.linalg.norm(dev2[3:])
+        dev2 = jnp.concatenate([
+            dev2[:3] * jnp.minimum(1.0, sc.max_accel_trans
+                                   / jnp.maximum(nt, 1e-9)),
+            dev2[3:] * jnp.minimum(1.0, sc.max_accel_rot
+                                   / jnp.maximum(nr, 1e-9)),
+        ])
+        xi2 = base + dev2
+        # Frames 0/1: no previous-scan correction reference; keep identity
+        # re-correction so both scans carry matching distortion.
+        xi2 = jnp.where(carry.frame_idx >= 2, xi2, carry.delta)
+
+        def _fix(pts, phase, mask):
+            out = deskew_mod.redeskew(pts, phase, carry.delta, xi2)
+            return jnp.where(mask[:, None], out, 0.0)
+
+        feats = feats._replace(
+            edges=_fix(feats.edges, feats.edge_phase, feats.edge_mask),
+            planars=_fix(feats.planars, feats.planar_phase,
+                         feats.planar_mask),
+        )
+        tfeats = tfeats._replace(
+            edges=_fix(tfeats.edges, tfeats.edge_phase, tfeats.edge_mask),
+            planars=_fix(tfeats.planars, tfeats.planar_phase,
+                         tfeats.planar_mask),
+        )
+        deskew_ref = None  # features carry their final correction
+    else:
+        T_rel, diag = icp.solve_scan_to_scan(
+            feats.edges, feats.edge_mask, feats.planars, feats.planar_mask,
+            edge_targets, planar_targets, T_pred, sc, vis=vis_data,
+            edge_cands=e_cands, planar_cands=p_cands, prior_T=T_pred,
+            prior_scale=prior_scale,
+        )
     # Deskew/solve fixed point: the first solve ran on features deskewed with
     # the *predicted* motion; re-correct them with the solved motion and solve
     # again, otherwise a prediction bias self-perpetuates (each solve matches
     # residually-distorted features and under-estimates the same way).
-    if cfg.use_deskew:
+    if cfg.use_deskew and not sc.ct_sweep:
         delta1 = se3.log(T_rel)
         # Frames 0/1 have no usable motion estimate for the *previous* scan,
         # so its stored features are distorted; keep the current frame's
@@ -284,8 +328,9 @@ def step(carry: OdomCarry, scan: jnp.ndarray, scan_mask: jnp.ndarray,
 
     # 6) Re-correct features with the solved motion: deskew ran with the
     # prediction; consecutive frames must carry consistent (zero) residual
-    # distortion or matching inherits the mismatch.
-    if cfg.use_deskew:
+    # distortion or matching inherits the mismatch.  (The continuous-time
+    # path already corrected them with the solved sweep motion.)
+    if cfg.use_deskew and deskew_ref is not None:
         edges_fix = deskew_mod.redeskew(tfeats.edges, tfeats.edge_phase,
                                         deskew_ref, delta_new)
         planars_fix = deskew_mod.redeskew(tfeats.planars, tfeats.planar_phase,

@@ -33,7 +33,7 @@ from velo_tpu.geom import se3
 from velo_tpu.mapping import dense_nn, voxel_hash
 from velo_tpu.mapping.dense_nn import TargetSet, make_targets  # re-export
 from velo_tpu.solve import residuals as res
-from velo_tpu.solve.lm import lm_solve
+from velo_tpu.solve.lm import lm_solve, lm_solve_ct
 
 _BIG = jnp.int32(10**6)
 _MIN_CORR = 20  # degenerate-frame gate: fewer inliers => keep the prior pose
@@ -213,6 +213,17 @@ def _planar_planes_fit(query, p, mask, k):
     return n, d, ok & mask & (val.sum(axis=1) >= 3), q
 
 
+def _prior_weights(cfg: SolverConfig, prior_T, prior_scale):
+    if prior_T is None or (cfg.prior_weight_trans <= 0
+                           and cfg.prior_weight_rot <= 0):
+        return None, None
+    w = jnp.asarray(
+        [cfg.prior_weight_trans] * 3 + [cfg.prior_weight_rot] * 3,
+        jnp.float32,
+    ) * (jnp.float32(1.0) if prior_scale is None else prior_scale)
+    return w, se3.inv(prior_T)
+
+
 def make_lidar_system(edges, edge_mask, line_a, line_b, line_ok,
                       planars, planar_mask, pl_n, pl_d, pl_ok,
                       cfg: SolverConfig, vis: "VisData | None" = None,
@@ -228,14 +239,7 @@ def make_lidar_system(edges, edge_mask, line_a, line_b, line_ok,
     only catch the worst cases; starved frames otherwise produce 2-6 deg
     rotation errors that dominate long-run drift).
     """
-    w_prior = None
-    if prior_T is not None and (cfg.prior_weight_trans > 0
-                                or cfg.prior_weight_rot > 0):
-        w_prior = jnp.asarray(
-            [cfg.prior_weight_trans] * 3 + [cfg.prior_weight_rot] * 3,
-            jnp.float32,
-        ) * (jnp.float32(1.0) if prior_scale is None else prior_scale)
-        prior_inv = se3.inv(prior_T)
+    w_prior, prior_inv = _prior_weights(cfg, prior_T, prior_scale)
 
     def build(T):
         pe = se3.apply(T[None], edges[None])[0]
@@ -262,6 +266,24 @@ def make_lidar_system(edges, edge_mask, line_a, line_b, line_ok,
             res.huber_cost(rp, cfg.huber_delta_icp) * okp
         )
 
+        Ha, ga, ca = _vis_prior_terms6(T, cfg, vis, w_prior, prior_inv)
+        return H + Ha, g + ga, cost + ca
+
+    return build
+
+
+def _vis_prior_terms6(T, cfg: SolverConfig, vis, w_prior, prior_inv):
+    """6-DoF (H, g, cost) of the visual + motion-prior cost blocks.
+
+    Shared by the 6-DoF and the 12-DoF (continuous-time) system builders —
+    camera observations are global-shutter, so their Jacobian wrt the sweep
+    motion is zero and these blocks only ever touch the pose half.
+    """
+    H = jnp.zeros((6, 6), T.dtype)
+    g = jnp.zeros((6,), T.dtype)
+    cost = jnp.zeros((), T.dtype)
+
+    if True:
         if w_prior is not None:
             # J = dlog(exp(xi) T prior^-1)/dxi ~ I for the small per-frame
             # deviations the prior is meant to bound.
@@ -326,9 +348,7 @@ def make_lidar_system(edges, edge_mask, line_a, line_b, line_ok,
             cost = cost + cfg.epi_weight * jnp.sum(
                 res.huber_cost(re_, cfg.huber_delta_repr) * oke_
             )
-        return H, g, cost
-
-    return build
+    return H, g, cost
 
 
 @partial(jax.jit, static_argnames=("cfg", "iters"))
@@ -449,3 +469,161 @@ def solve_scan_to_map(
     )
     T_fin, diag = jax.lax.fori_loop(0, outer, outer_body, (T_init, diag0))
     return T_fin, diag
+
+
+def make_lidar_system_ct(edges_base, edge_phase, edge_mask,
+                         line_a, line_b, line_ok,
+                         planars_base, planar_phase, planar_mask,
+                         pl_n, pl_d, pl_ok, xi_ref, cfg: SolverConfig,
+                         vis: "VisData | None" = None,
+                         edge_q=None, planar_q=None, prior_T=None,
+                         prior_scale=None):
+    """12-DoF continuous-time system: T -> target frame AND the current
+    scan's own sweep motion xi2.
+
+    LOAM-style pipelines deskew with the constant-velocity *prediction* and
+    re-solve after a redeskew; the residual distortion error is then the
+    frame-to-frame acceleration (measured: ~0.4 deg/frame yaw on the long
+    fixture — the dominant rotation-noise source).  Here the sweep motion is
+    a solved unknown: each feature measured at phase s maps through
+    ``T @ exp(s*xi2)``, so the distortion field is estimated from the scan
+    itself.  ``xi_ref`` is the motion the features were deskewed with before
+    extraction; ``build`` re-expresses them for any xi2 via the matrix-free
+    double-Rodrigues redeskew.
+
+    A coupling prior ``xi2 ~ log(T)`` (constant velocity across the two
+    half-intervals) keeps the extra 6 DoF conditioned where the geometry
+    cannot observe them; its weight is the knob between classic LOAM
+    behavior (infinite) and fully data-driven distortion (zero).
+    """
+    from velo_tpu.lidar import deskew as deskew_mod
+
+    w_prior, prior_inv = _prior_weights(cfg, prior_T, prior_scale)
+    w_couple = jnp.asarray(
+        [cfg.couple_weight_trans] * 3 + [cfg.couple_weight_rot] * 3,
+        jnp.float32,
+    )
+    eye6 = jnp.eye(6, dtype=jnp.float32)
+    Jc = jnp.concatenate([-eye6, eye6], axis=1)  # (6, 12) d(xi2 - log T)
+
+    def lidar_block(base, phase, mask, fit_res, q, T, xi2):
+        cur = deskew_mod.redeskew(base, phase, xi_ref, xi2)
+        cur = jnp.where(mask[:, None], cur, 0.0)
+        p = se3.apply(T[None], cur[None])[0]
+        r, dr_dp, ok = fit_res(p)
+        w = res.huber_weight(r, cfg.huber_delta_icp) * ok
+        if q is not None:
+            w = w * q
+        J1 = jnp.einsum("ki,kij->kj", dr_dp, res.point_jacobian(p))
+        # dp'/dxi2 = s * R_T [I | -hat(cur)]  (perturbation applied between
+        # T and the scaled sweep exp; first-order in the per-point angle).
+        dp2 = jnp.einsum("ab,kbj->kaj", T[:3, :3],
+                         res.point_jacobian(cur)) * phase[:, None, None]
+        J2 = jnp.einsum("ki,kij->kj", dr_dp, dp2)
+        J = jnp.concatenate([J1, J2], axis=-1)  # (K, 12)
+        H = jnp.einsum("ki,kj->ij", J * w[:, None], J)
+        g = J.T @ (w * r)
+        cost = jnp.sum(res.huber_cost(r, cfg.huber_delta_icp) * ok)
+        return H, g, cost
+
+    def build(T, xi2):
+        He, ge, ce = lidar_block(
+            edges_base, edge_phase, edge_mask,
+            lambda p: res.point_to_line(p, line_a, line_b,
+                                        line_ok & edge_mask),
+            edge_q, T, xi2)
+        Hp, gp, cp = lidar_block(
+            planars_base, planar_phase, planar_mask,
+            lambda p: res.point_to_plane(p, pl_n, pl_d,
+                                         pl_ok & planar_mask),
+            planar_q, T, xi2)
+        H = He + Hp
+        g = ge + gp
+        cost = ce + cp
+
+        # Constant-velocity coupling between the solved inter-frame motion
+        # and the solved intra-sweep motion.
+        r_c = xi2 - se3.log(T)
+        H = H + (Jc.T * w_couple[None, :]) @ Jc
+        g = g + Jc.T @ (w_couple * r_c)
+        cost = cost + 0.5 * jnp.sum(w_couple * r_c * r_c)
+
+        Ha, ga, ca = _vis_prior_terms6(T, cfg, vis, w_prior, prior_inv)
+        H = H.at[:6, :6].add(Ha)
+        g = g.at[:6].add(ga)
+        return H, g, cost + ca
+
+    return build
+
+
+@partial(jax.jit, static_argnames=("cfg", "iters"))
+def solve_scan_to_scan_ct(
+    edges_base: jnp.ndarray,
+    edge_phase: jnp.ndarray,
+    edge_mask: jnp.ndarray,
+    planars_base: jnp.ndarray,
+    planar_phase: jnp.ndarray,
+    planar_mask: jnp.ndarray,
+    edge_targets: TargetSet,
+    planar_targets: TargetSet,
+    T_init: jnp.ndarray,
+    xi_ref: jnp.ndarray,
+    cfg: SolverConfig,
+    iters: Optional[int] = None,
+    vis: Optional[VisData] = None,
+    edge_cands: Optional[CandCache] = None,
+    planar_cands: Optional[CandCache] = None,
+    prior_T: Optional[jnp.ndarray] = None,
+    prior_scale: Optional[jnp.ndarray] = None,
+):
+    """Continuous-time scan-to-scan solve: returns (T, xi2, SolveDiag).
+
+    Replaces the (solve -> redeskew -> re-solve) fixed point of the 6-DoF
+    path: the sweep motion is jointly estimated, so one solve both registers
+    the scan and undistorts it.  ``xi_ref`` is the prediction the features
+    were deskewed with (also the xi2 initialization).
+    """
+    from velo_tpu.lidar import deskew as deskew_mod
+
+    outer = cfg.icp_iters_odom if iters is None else iters
+    eq = _make_engine(edge_targets, edges_base, edge_mask, T_init, cfg,
+                      cands=edge_cands)
+    pq = _make_engine(planar_targets, planars_base, planar_mask, T_init,
+                      cfg, cands=planar_cands)
+
+    def outer_body(_, carry):
+        T, xi2, _diag = carry
+        e_cur = deskew_mod.redeskew(edges_base, edge_phase, xi_ref, xi2)
+        e_cur = jnp.where(edge_mask[:, None], e_cur, 0.0)
+        pe = se3.apply(T[None], e_cur[None])[0]
+        a, b, e_ok = _edge_lines_2pt(eq, pe, edge_mask)
+
+        p_cur = deskew_mod.redeskew(planars_base, planar_phase, xi_ref, xi2)
+        p_cur = jnp.where(planar_mask[:, None], p_cur, 0.0)
+        pp = se3.apply(T[None], p_cur[None])[0]
+        n, d, p_ok, p_q = _planar_planes_fit(pq, pp, planar_mask,
+                                             cfg.map_knn)
+
+        build = make_lidar_system_ct(
+            edges_base, edge_phase, edge_mask, a, b, e_ok,
+            planars_base, planar_phase, planar_mask, n, d, p_ok,
+            xi_ref, cfg, vis=vis, planar_q=p_q, prior_T=prior_T,
+            prior_scale=prior_scale,
+        )
+        n_e = jnp.sum(e_ok)
+        n_p = jnp.sum(p_ok)
+        enough = (n_e + n_p) >= _MIN_CORR
+        T_new, xi2_new, st = lm_solve_ct(build, T, xi2, cfg)
+        T_out = jnp.where(enough, T_new, T)
+        xi2_out = jnp.where(enough, xi2_new, xi2)
+        diag = SolveDiag(n_edge=n_e, n_planar=n_p, cost=st.cost,
+                         degenerate=~enough)
+        return (T_out, xi2_out, diag)
+
+    diag0 = SolveDiag(
+        n_edge=jnp.int32(0), n_planar=jnp.int32(0),
+        cost=jnp.float32(0.0), degenerate=jnp.asarray(False),
+    )
+    T_fin, xi2_fin, diag = jax.lax.fori_loop(
+        0, outer, outer_body, (T_init, xi_ref, diag0))
+    return T_fin, xi2_fin, diag

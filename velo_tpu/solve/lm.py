@@ -115,3 +115,71 @@ def lm_solve(
     for i in range(iters):
         out = body(i, out)
     return out.T, out
+
+
+class LMStateCT(NamedTuple):
+    T: jnp.ndarray  # (4,4)
+    xi2: jnp.ndarray  # (6,) sweep-motion estimate
+    lam: jnp.ndarray
+    cost: jnp.ndarray
+    converged: jnp.ndarray
+
+
+def lm_solve_ct(
+    build_system: Callable[[jnp.ndarray, jnp.ndarray],
+                           Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]],
+    T0: jnp.ndarray,
+    xi2_0: jnp.ndarray,
+    cfg: SolverConfig,
+    iters: int | None = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray, LMStateCT]:
+    """12-DoF LM over (pose, sweep motion) — the continuous-time solve.
+
+    ``build_system(T, xi2) -> (H (12,12), g (12,), cost)``; the state
+    retraction is ``T <- exp(delta[:6]) T`` (left) and ``xi2 <- xi2 +
+    delta[6:]`` (additive; the builder relinearizes the scaled-exp around
+    the current xi2 each call, so first-order consistency suffices).
+    """
+    iters = cfg.lm_iters if iters is None else iters
+    eye = jnp.eye(12, dtype=T0.dtype)
+
+    def cost_only(T, xi2):
+        return build_system(T, xi2)[2]
+
+    def body(st: LMStateCT) -> LMStateCT:
+        H, g, cost = build_system(st.T, st.xi2)
+        D = jnp.sqrt(jnp.diagonal(H) + 1e-8)
+        Hs = H / (D[:, None] * D[None, :])
+        gs = g / D
+        A = Hs + (st.lam + 1e-7) * eye
+        L = jnp.linalg.cholesky(A)
+        delta = jax.scipy.linalg.cho_solve((L, True), -gs) / D
+        bad = ~jnp.all(jnp.isfinite(delta))
+        delta = jnp.where(bad, 0.0, delta)
+
+        T_try = se3.exp(delta[:6]) @ st.T
+        xi2_try = st.xi2 + delta[6:]
+        cost_try = cost_only(T_try, xi2_try)
+        accept = (cost_try < cost) & ~bad & ~st.converged
+        lam_new = jnp.where(
+            accept, st.lam * cfg.lm_lambda_down, st.lam * cfg.lm_lambda_up
+        )
+        step = jnp.linalg.norm(delta)
+        return LMStateCT(
+            T=jnp.where(accept, T_try, st.T),
+            xi2=jnp.where(accept, xi2_try, st.xi2),
+            lam=jnp.where(st.converged, st.lam,
+                          jnp.clip(lam_new, 1e-9, 1e6)),
+            cost=jnp.where(accept, cost_try, cost),
+            converged=st.converged | (accept & (step < cfg.converge_tol)),
+        )
+
+    st = LMStateCT(
+        T=T0, xi2=xi2_0,
+        lam=jnp.asarray(cfg.lm_lambda_init, T0.dtype),
+        cost=cost_only(T0, xi2_0),
+        converged=jnp.asarray(False),
+    )
+    for _ in range(iters):
+        st = body(st)
+    return st.T, st.xi2, st
