@@ -72,17 +72,18 @@ def variant_cfg(name, rings, az):
         lid.update(n_sectors=6)
     elif name == "planars6":
         lid.update(planars_per_sector=6)
-    elif name.startswith("s:"):
-        pass  # solver override variant, handled below
+    elif name[:2] in ("s:", "l:", "m:"):
+        pass  # field-override variant, handled below
     else:
         raise SystemExit(f"unknown variant {name}")
     cfg = VeloConfig(lidar=LidarConfig(**lid), use_vision=False,
                      use_map=True, n_max_points=rings * az)
-    if name.startswith("s:"):
-        # e.g. "s:icp_iters_redeskew=6" or "s:lm_iters=6,huber_delta_icp=0.2"
+    if name[:2] in ("s:", "l:", "m:"):
+        # e.g. "s:lm_iters=6+huber_delta_icp=0.2", "m:edge_capacity=32768"
+        sub = {"s": "solver", "l": "lidar", "m": "map"}[name[0]]
         kv = dict(p.split("=") for p in name[2:].split("+"))
         fields = {f.name: f.type for f in
-                  dataclasses.fields(cfg.solver)}
+                  dataclasses.fields(getattr(cfg, sub))}
         def _c(k, v):
             ty = str(fields[k])
             if "bool" in ty:
@@ -94,8 +95,8 @@ def variant_cfg(name, rings, az):
             return float(v)
 
         conv = {k: _c(k, v) for k, v in kv.items()}
-        cfg = dataclasses.replace(cfg, solver=dataclasses.replace(
-            cfg.solver, **conv))
+        cfg = dataclasses.replace(cfg, **{sub: dataclasses.replace(
+            getattr(cfg, sub), **conv)})
     return cfg
 
 

@@ -72,8 +72,10 @@ def test_config1_lidar_scan_to_scan(fx):
     est, diag = _run(fx, cfg)
     assert not diag["degenerate"][1:].any()
     errs = rel_errors(est, fx.gt_poses_velo)
-    assert np.median(errs) < 0.12, errs  # <~15% of the 0.8 m frame motion
-    assert errs.max() < 0.5, errs
+    # Pinned near achieved levels (round 2: median ~0.02 m) so tuning
+    # regressions fail CI, with ~2x headroom for platform noise.
+    assert np.median(errs) < 0.05, errs
+    assert errs.max() < 0.3, errs
 
 
 @pytest.mark.slow
@@ -83,7 +85,7 @@ def test_config2_with_local_map(fx):
     ate = kitti_metric.ate_rmse(
         est, np.linalg.inv(fx.gt_poses_velo[0])[None] @ fx.gt_poses_velo
     )
-    assert ate < 1.0, ate  # bounded, not diverging
+    assert ate < 0.4, ate  # pinned near achieved (round 2: ~0.1 m over 8 frames)
 
 
 @pytest.mark.slow
@@ -92,11 +94,11 @@ def test_config4_fused_visual_lidar(fx):
     est, diag = _run(fx, cfg, with_images=True)
     assert not diag["degenerate"][1:].any()
     errs = rel_errors(est, fx.gt_poses_velo)
-    assert np.median(errs) < 0.12, errs
+    assert np.median(errs) < 0.05, errs
     ate = kitti_metric.ate_rmse(
         est, np.linalg.inv(fx.gt_poses_velo[0])[None] @ fx.gt_poses_velo
     )
-    assert ate < 1.0, ate
+    assert ate < 0.4, ate
 
 
 @pytest.mark.slow
