@@ -106,6 +106,11 @@ class SolverConfig:
     # latching a 2-6 deg rotation error (the dominant long-run drift source).
     prior_weight_trans: float = 50.0  # 1/sigma^2, sigma ~ 0.14 m/frame^2
     prior_weight_rot: float = 5000.0  # 1/sigma^2, sigma ~ 0.014 rad/frame^2
+    # Dead zone: deviations within normal vehicle dynamics cost nothing (a
+    # quadratic prior drags against genuine turns); only the excess beyond
+    # is penalized.
+    prior_deadzone_trans: float = 0.2  # m/frame^2
+    prior_deadzone_rot: float = 0.015  # rad/frame^2 (~0.86 deg)
     # Continuous-time sweep solve (12 DoF): jointly estimate the current
     # scan's own sweep motion instead of assuming the constant-velocity
     # prediction — removes the O(acceleration) residual-distortion error

@@ -285,12 +285,27 @@ def _vis_prior_terms6(T, cfg: SolverConfig, vis, w_prior, prior_inv):
 
     if True:
         if w_prior is not None:
+            # Dead-zone prior: deviations within the physical acceleration
+            # range cost nothing (a quadratic prior measurably *drags* the
+            # solve against real turns: mean -0.4 deg/frame yaw error during
+            # sustained yaw ramps); only the excess beyond the dead zone is
+            # penalized, so the prior is purely a tail-container.
             # J = dlog(exp(xi) T prior^-1)/dxi ~ I for the small per-frame
             # deviations the prior is meant to bound.
             r_pr = se3.log(T @ prior_inv)
-            H = H + jnp.diag(w_prior)
-            g = g + w_prior * r_pr
-            cost = cost + 0.5 * jnp.sum(w_prior * r_pr * r_pr)
+
+            def _dz(r3, dz):
+                n = jnp.linalg.norm(r3)
+                scale = jnp.maximum(0.0, 1.0 - dz / jnp.maximum(n, 1e-9))
+                return r3 * scale, (n > dz).astype(r3.dtype)
+
+            r_t, a_t = _dz(r_pr[:3], cfg.prior_deadzone_trans)
+            r_r, a_r = _dz(r_pr[3:], cfg.prior_deadzone_rot)
+            r_eff = jnp.concatenate([r_t, r_r])
+            active = jnp.concatenate([jnp.full(3, a_t), jnp.full(3, a_r)])
+            H = H + jnp.diag(w_prior * active)
+            g = g + w_prior * r_eff
+            cost = cost + 0.5 * jnp.sum(w_prior * r_eff * r_eff)
 
         if vis is not None:
             # Reprojection term: r = pi(P, T_cv T^-1 X_prev) - obs, with the
