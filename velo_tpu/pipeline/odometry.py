@@ -95,12 +95,12 @@ def init_carry(cfg: VeloConfig) -> OdomCarry:
 
 
 def _extract_features(pts3, mask, phase, cfg: VeloConfig):
-    """Returns (query_features, target_features) from one scan."""
+    """Returns (query_features, target_features, range_image) of one scan."""
     ri = ri_mod.build_range_image(pts3, mask, phase, cfg.lidar)
     cr = curv_mod.compute_curvature(ri, cfg.lidar)
     q = feat_mod.select_features(ri, cr, cfg.lidar)
     t = feat_mod.select_features(ri, cr, cfg.lidar, target=True)
-    return q, t
+    return q, t, ri
 
 
 def step(carry: OdomCarry, scan: jnp.ndarray, scan_mask: jnp.ndarray,
@@ -117,7 +117,7 @@ def step(carry: OdomCarry, scan: jnp.ndarray, scan_mask: jnp.ndarray,
     )
 
     # 2) LiDAR front-end: sparse query set + dense match-target set.
-    feats, tfeats = _extract_features(pts3, scan_mask, phase, cfg)
+    feats, tfeats, ri = _extract_features(pts3, scan_mask, phase, cfg)
 
     # 2v) Visual front-end: pyramid + KLT track + reprojection data.
     vis_data = None
@@ -376,7 +376,8 @@ def step(carry: OdomCarry, scan: jnp.ndarray, scan_mask: jnp.ndarray,
     # tracked positions, then replenish free slots from fresh corners.
     new_vision = carry.vision
     if cfg.use_vision:
-        dgrid = depth_assoc.build_depth_grid(pts3, scan_mask, cam, cfg.vision)
+        dgrid = depth_assoc.build_depth_grid_from_ri(
+            ri, cam, cfg.vision, az_start=cfg.lidar.az_start)
         dres = depth_assoc.associate(dgrid, table.uv, table.active, cam,
                                      cfg.vision)
         X_velo = se3.apply(se3.inv(cam.T_cam_velo)[None], dres.xyz_cam[None])[0]

@@ -74,6 +74,47 @@ def build_depth_grid(pts_velo: jnp.ndarray, mask: jnp.ndarray,
     )
 
 
+def build_depth_grid_from_ri(ri, cam: cam_mod.Camera, cfg: VisionConfig,
+                             az_start: float = 0.0,
+                             half_fov: float = 0.9) -> DepthGrid:
+    """Depth grid from the forward-facing slice of the range image.
+
+    Scatter cost is proportional to update count; the raw-cloud path
+    scatters all ~131k points although only the camera-facing quarter can
+    land in the image (~1.1 ms/frame in the fused device trace).  The range
+    image already resolved per-cell winners, so this takes the azimuth
+    window around the camera axis (+x, phase ~0/1 under ``az_start=0``,
+    wrapping) via two static column slices and scatters only those.
+
+    ``half_fov`` is the azimuth half-window in radians (default ~52 deg,
+    cushioning any KITTI-like camera).
+    """
+    R, W = ri.rng.shape
+    # Phase of the camera axis (+x): azimuth 0.
+    import numpy as _np
+
+    phase0 = (az_start % (2 * _np.pi)) / (2 * _np.pi)
+    w_half = max(1, int(round(half_fov / (2 * _np.pi) * W)))
+    c0 = int(round(phase0 * W))
+    cols = [(c0 - w_half) % W, c0]
+    # Two static slices covering [c0-w_half, c0+w_half) with wraparound.
+    xs, vs = [], []
+    for start in cols:
+        if start + w_half <= W:
+            sl = slice(start, start + w_half)
+            xs.append(ri.xyz[:, sl])
+            vs.append(ri.valid[:, sl])
+        else:  # wraps: split
+            a = W - start
+            xs.append(jnp.concatenate(
+                [ri.xyz[:, start:], ri.xyz[:, :w_half - a]], axis=1))
+            vs.append(jnp.concatenate(
+                [ri.valid[:, start:], ri.valid[:, :w_half - a]], axis=1))
+    pts = jnp.concatenate(xs, axis=1).reshape(-1, 3)
+    mask = jnp.concatenate(vs, axis=1).reshape(-1)
+    return build_depth_grid(pts, mask, cam, cfg)
+
+
 class DepthResult(NamedTuple):
     xyz_cam: jnp.ndarray  # (K, 3) feature landmark in the camera frame
     depth: jnp.ndarray  # (K,) projective depth
