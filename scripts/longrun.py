@@ -22,19 +22,24 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
-def get_fixture(frames, rings, az, seed=0, distorted=True):
-    tag = "" if distorted else "_nodist"
+def get_fixture(frames, rings, az, seed=0, distorted=True,
+                with_images=False):
+    tag = ("" if distorted else "_nodist") + ("_img" if with_images else "")
     cache = f"/tmp/velo_longrun_{frames}_{rings}_{az}_{seed}{tag}.npz"
     from velo_tpu.io import fixtures, kitti
 
     n_max = rings * az
     if os.path.exists(cache):
         d = np.load(cache)
-        return d["scans"], d["masks"], d["gt_velo"], d["gt_cam"], d["T_cam_velo"]
+        return (d["scans"], d["masks"], d["gt_velo"], d["gt_cam"],
+                d["T_cam_velo"],
+                d["images"] if with_images else None,
+                d["P"] if "P" in d else None)
     print(f"simulating {frames} frames at {rings}x{az}…", file=sys.stderr)
     if distorted:
         fx = fixtures.make_fixture(n_frames=frames, n_rings=rings,
-                                   n_azimuth=az, with_images=False,
+                                   n_azimuth=az, with_images=with_images,
+                                   height=128, width=384,
                                    speed=8.0, seed=seed)
         raw, gt_velo, gt_cam, T_cv = (fx.scans, fx.gt_poses_velo,
                                       fx.gt_poses_cam, fx.T_cam_velo)
@@ -53,9 +58,13 @@ def get_fixture(frames, rings, az, seed=0, distorted=True):
     padded = [kitti.pad_scan(s, n_max) for s in raw]
     scans = np.stack([p[0] for p in padded])
     masks = np.stack([p[1] for p in padded])
+    extra = ({"images": fx.images, "P": fx.P}
+             if with_images and distorted else {})
     np.savez_compressed(cache, scans=scans, masks=masks,
-                        gt_velo=gt_velo, gt_cam=gt_cam, T_cam_velo=T_cv)
-    return scans, masks, gt_velo, gt_cam, T_cv
+                        gt_velo=gt_velo, gt_cam=gt_cam, T_cam_velo=T_cv,
+                        **extra)
+    return (scans, masks, gt_velo, gt_cam, T_cv,
+            extra.get("images"), extra.get("P"))
 
 
 def variant_cfg(name, rings, az):
@@ -111,6 +120,8 @@ def main():
                     help="write per-frame diagnostics .npz here")
     ap.add_argument("--nodistort", action="store_true",
                     help="undistorted scans + deskew off (oracle ceiling)")
+    ap.add_argument("--vision", action="store_true",
+                    help="fused pipeline (config 4) with rendered images")
     args = ap.parse_args()
 
     import jax
@@ -121,20 +132,40 @@ def main():
 
     rows = []
     for seed in [int(s) for s in args.seeds.split(",")]:
-        scans, masks, gt_velo, gt_cam, T_cam_velo = get_fixture(
+        scans, masks, gt_velo, gt_cam, T_cam_velo, images, P = get_fixture(
             args.frames, args.rings, args.azimuth, seed,
-            distorted=not args.nodistort)
+            distorted=not args.nodistort, with_images=args.vision)
         scans_d = jnp.asarray(scans)
         masks_d = jnp.asarray(masks)
+        images_d = (jnp.asarray(images, jnp.float32)
+                    if args.vision else None)
 
         for name in args.variants.split(","):
             cfg = variant_cfg(name, args.rings, args.azimuth)
             if args.nodistort:
                 cfg = dataclasses.replace(cfg, use_deskew=False)
-            run = jax.jit(lambda c, s, m: odometry.run_scan(c, s, m, cfg))
+            if args.vision:
+                from velo_tpu.config import VisionConfig
+                from velo_tpu.geom import camera as cam_mod
+
+                cfg = dataclasses.replace(
+                    cfg, use_vision=True,
+                    vision=VisionConfig(height=128, width=384,
+                                        k_tracks=128, grid_cols=24))
+                cam = cam_mod.Camera(
+                    P=jnp.asarray(P, jnp.float32),
+                    T_cam_velo=jnp.asarray(T_cam_velo, jnp.float32),
+                    width=384, height=128)
+                run = jax.jit(lambda c, s, m, im: odometry.run_scan(
+                    c, s, m, cfg, images=im, cam=cam))
+            else:
+                run = jax.jit(lambda c, s, m: odometry.run_scan(c, s, m, cfg))
             carry = odometry.init_carry(cfg)
             t0 = time.perf_counter()
-            carry, out = run(carry, scans_d, masks_d)
+            if args.vision:
+                carry, out = run(carry, scans_d, masks_d, images_d)
+            else:
+                carry, out = run(carry, scans_d, masks_d)
             jax.block_until_ready(out.T_w)
             dt = time.perf_counter() - t0
             poses_velo = np.asarray(out.T_w)

@@ -10,7 +10,6 @@ Usage: python scripts/profile_step.py [--vision] [--frames 8]
 """
 import argparse
 import glob
-import json
 import os
 import sys
 

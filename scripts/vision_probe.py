@@ -8,7 +8,6 @@ import numpy as np
 
 
 def main():
-    import jax
     import jax.numpy as jnp
 
     from velo_tpu.config import (LidarConfig, MapConfig, VeloConfig,

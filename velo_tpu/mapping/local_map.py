@@ -20,7 +20,6 @@ from typing import NamedTuple
 
 import jax.numpy as jnp
 
-from velo_tpu.config import MapConfig
 from velo_tpu.mapping import voxel_hash
 
 
