@@ -27,7 +27,7 @@ from velo_tpu.geom import camera as cam_mod  # noqa: E402
 from velo_tpu.io import fixtures, kitti  # noqa: E402
 from velo_tpu.pipeline import odometry  # noqa: E402
 
-N_FRAMES = 40
+N_FRAMES = 60
 RINGS, AZ = 64, 2048
 IMG_H, IMG_W = 192, 640  # KITTI-like grayscale camera, full scale
 # "fused" benches config 4 (vision-enhanced, the north-star pipeline);
@@ -98,7 +98,7 @@ def main():
     jax.block_until_ready(out.T_w)
 
     best = float("inf")
-    for _ in range(5):
+    for _ in range(8):
         t0 = time.perf_counter()
         carry, out = run(*args())
         jax.block_until_ready(out.T_w)
