@@ -47,3 +47,24 @@ def test_masked_targets_never_returned(rng):
     real = d2 < 1e20
     assert real.any()
     assert np.all(tm[idx[real]])
+
+
+def test_padding_keeps_recall(rng):
+    """Appending masked padding rows changes the bin structure (the result
+    is approximate and legitimately reorders), but recall against the exact
+    answer must stay high and padding must never be returned."""
+    n, q, k = 1024, 256, 8
+    t = rng.uniform(-10, 10, (n, 3)).astype(np.float32)
+    qs = rng.uniform(-10, 10, (q, 3)).astype(np.float32)
+    D = ((qs[:, None, :] - t[None, :, :]) ** 2).sum(-1)
+    exact = np.argsort(D, axis=1)[:, :k]
+
+    t2 = np.concatenate([t, rng.uniform(-1, 1, (1024, 3)).astype(np.float32)])
+    tm2 = np.concatenate([np.ones(n, bool), np.zeros(1024, bool)])
+    d2, idx = dist_topk(jnp.asarray(t2), jnp.asarray(tm2),
+                        jnp.asarray(qs), k=k, bin_factor=4, interpret=True)
+    idx = np.asarray(idx)
+    recall = np.mean([len(set(idx[i]) & set(exact[i])) / k
+                      for i in range(q)])
+    assert recall > 0.95, recall
+    assert np.all(idx[np.asarray(d2) < 1e20] < n)  # padding never returned
