@@ -93,10 +93,10 @@ class SolverConfig:
     lm_lambda_down: float = 0.1
     huber_delta_icp: float = 0.10  # meters
     huber_delta_repr: float = 1.5  # pixels
-    vis_weight: float = 0.3  # relative weight of reprojection residuals
+    vis_weight: float = 0.1  # relative weight of reprojection residuals
     vis_pregate_px: float = 6.0  # cull depth landmarks whose reprojection at
     # the predicted pose is already off by this many pixels (wrong depth)
-    epi_weight: float = 0.02  # weight of depth-unknown epipolar residuals
+    epi_weight: float = 0.01  # weight of depth-unknown epipolar residuals
     # (pixel-scale residuals with ~fx px/rad leverage: keep small so hundreds
     # of tracks refine rotation without overpowering the LiDAR blocks)
     converge_tol: float = 1e-4  # pose-delta convergence mask threshold
