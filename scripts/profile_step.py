@@ -38,7 +38,12 @@ def main():
         use_vision=args.vision,
         use_map=True,
     )
-    cache = os.environ.get("VELO_BENCH_CACHE", "/tmp/velo_bench_frames.npz")
+    # Same cache bench.py uses for this mode, so profiles measure exactly
+    # the frames the benchmark measures (ADVICE r2: the old unsuffixed path
+    # could silently profile a stale round-1 cache).
+    import bench as bench_mod
+
+    cache = bench_mod.cache_path("fused" if args.vision else "lidar")
     if os.path.exists(cache):
         d = np.load(cache)
         scans_np, masks_np = d["scans"], d["masks"]

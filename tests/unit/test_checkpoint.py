@@ -64,10 +64,14 @@ def test_resume_matches_uninterrupted(tmp_path, frames):
     odometry.run_sequence_host(seq[:3], cfg, checkpoint_path=path,
                                checkpoint_every=3)
     assert ckpt.checkpoint_frame(path) == 3
-    tail, _ = odometry.run_sequence_host(seq, cfg, checkpoint_path=path,
-                                         resume=True)
-    assert tail.shape[0] == len(seq) - 3
-    np.testing.assert_allclose(tail, full[3:], atol=1e-5)
+    resumed, rdiag = odometry.run_sequence_host(seq, cfg,
+                                                checkpoint_path=path,
+                                                resume=True)
+    # Resume returns the FULL trajectory (pre-checkpoint poses come from the
+    # persisted history), identical to an uninterrupted run.
+    assert resumed.shape[0] == len(seq)
+    np.testing.assert_allclose(resumed, full, atol=1e-5)
+    assert rdiag["n_edge"].shape[0] == len(seq)
 
 
 def test_map_every_cadence(frames):
@@ -89,6 +93,39 @@ def test_plot_trajectory_writes_files(tmp_path, frames):
     written = plots.plot_trajectory(str(tmp_path), "toy", est, gt)
     assert all(os.path.exists(p) for p in written)
     assert len(written) == 2
+
+
+def test_ct_sweep_no_double_redeskew(frames):
+    """Regression (ADVICE r2): with ct_sweep the stored target features are
+    already corrected with the solved sweep motion; step 6 must NOT redeskew
+    them a second time.  Counted at trace time: the CT path calls redeskew
+    exactly 4 times (edges/planars x query/target), never 6."""
+    import dataclasses
+    from unittest import mock
+
+    import jax
+
+    from velo_tpu.lidar import deskew as deskew_mod
+
+    seq, fx = frames
+    cfg = tiny_cfg()
+    cfg = dataclasses.replace(
+        cfg, solver=dataclasses.replace(cfg.solver, ct_sweep=True))
+    carry = odometry.init_carry(cfg)
+    scan, mask = seq[0]
+    calls = []
+    real = deskew_mod.redeskew
+    # Patch odometry's *name* for the module (not the shared module object)
+    # so the solver's internal relinearization calls don't count.
+    import types
+    proxy = types.SimpleNamespace(
+        deskew=deskew_mod.deskew,
+        redeskew=lambda *a, **k: calls.append(1) or real(*a, **k),
+    )
+    with mock.patch.object(odometry, "deskew_mod", proxy):
+        jax.eval_shape(lambda c, s, m: odometry.step(c, s, m, cfg),
+                       carry, scan, mask)
+    assert len(calls) == 4
 
 
 def test_ct_sweep_pipeline_runs(frames):

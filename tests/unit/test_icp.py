@@ -213,3 +213,52 @@ def test_ct_solve_recovers_pose_and_sweep_motion():
     # Sweep motion recovered to well under the injected acceleration.
     assert np.abs(err_xi2[:3]).max() < 0.02, err_xi2
     assert np.abs(err_xi2[3:]).max() < 0.005, err_xi2
+
+
+def test_cauchy_icp_loss_recovers_pose_and_rejects_outliers():
+    """icp_loss="cauchy" (C10 Huber/Cauchy contract): the redescending loss
+    recovers the pose on clean geometry and keeps it in the presence of
+    gross outlier correspondences (corrupted current points)."""
+    rng = np.random.default_rng(79)
+    edge_pts, edge_rings, planar_pts = synthetic_scene(rng)
+    xi_true = np.array([0.3, -0.2, 0.05, 0.01, -0.02, 0.03], np.float32)
+    T_true = se3.exp(jnp.asarray(xi_true))
+    cur_edges = se3.apply(se3.inv(T_true)[None], jnp.asarray(edge_pts)[None])[0]
+    cur_planars = se3.apply(se3.inv(T_true)[None],
+                            jnp.asarray(planar_pts)[None])[0]
+    # Corrupt 10% of the planar points with ~0.5 m offsets: within the
+    # correspondence gate (so they DO enter the cost) but grossly wrong.
+    n_bad = len(planar_pts) // 10
+    bad = rng.choice(len(planar_pts), n_bad, replace=False)
+    cur_planars = np.array(cur_planars)
+    cur_planars[bad] += rng.normal(0, 0.3, (n_bad, 3)).astype(np.float32)
+    cur_planars = jnp.asarray(cur_planars)
+
+    edge_targets = icp.make_targets(
+        jnp.asarray(edge_pts), jnp.ones(len(edge_pts), dtype=bool),
+        payload=jnp.asarray(edge_rings)[:, None],
+    )
+    planar_targets = icp.make_targets(
+        jnp.asarray(planar_pts), jnp.ones(len(planar_pts), dtype=bool)
+    )
+    errs = {}
+    for loss in ("huber", "cauchy"):
+        cfg = SolverConfig(icp_loss=loss)
+        T_est, _ = icp.solve_scan_to_scan(
+            cur_edges, jnp.ones(len(edge_pts), dtype=bool),
+            cur_planars, jnp.ones(len(planar_pts), dtype=bool),
+            edge_targets, planar_targets, se3.identity(), cfg,
+        )
+        errs[loss] = np.linalg.norm(
+            np.asarray(se3.log(se3.inv(T_true) @ T_est)))
+    assert errs["cauchy"] < 2e-2, errs
+    # Redescending loss should do at least as well as Huber under gross
+    # outliers (generous factor: both are already small).
+    assert errs["cauchy"] < errs["huber"] * 1.5, errs
+
+
+def test_robust_loss_dispatch_rejects_unknown():
+    from velo_tpu.solve import residuals as res
+
+    with pytest.raises(ValueError):
+        res.robust_weight(jnp.ones(3), 0.1, "tukey")

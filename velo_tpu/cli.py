@@ -101,9 +101,15 @@ def run_batch_mode(args):
                           cam_traj)
         ate = kitti_metric.ate_rmse(cam_traj, gts[b])
         errs = kitti_metric.evaluate_trajectory(cam_traj, gts[b])
-        rows.append({"seq": b, "ate_rmse_m": round(float(ate), 4),
-                     "t_err_pct": (round(float(errs.t_err_pct), 3)
-                                   if errs.n_segments else None)})
+        rows.append({
+            "seq": b, "ate_rmse_m": round(float(ate), 4),
+            # Both halves of the north-star metric (BASELINE.md): trans
+            # %/100m AND rot deg/100m.
+            "t_err_pct": (round(float(errs.t_err_pct), 3)
+                          if errs.n_segments else None),
+            "r_err_deg_per_100m": (round(float(errs.r_err_deg_per_100m), 4)
+                                   if errs.n_segments else None),
+        })
     total_fps = args.batch * args.frames / dt
     result = {"batch": args.batch, "frames": args.frames,
               "agg_fps": round(total_fps, 2),

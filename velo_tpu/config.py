@@ -93,6 +93,9 @@ class SolverConfig:
     lm_lambda_down: float = 0.1
     huber_delta_icp: float = 0.10  # meters
     huber_delta_repr: float = 1.5  # pixels
+    icp_loss: str = "huber"  # robust loss of the geometric ICP residuals:
+    # "huber" | "cauchy" (redescending — hard-rejects gross outliers, but
+    # see _vis_prior_terms6 for why the VISUAL terms must stay Huber)
     vis_weight: float = 0.1  # relative weight of reprojection residuals
     vis_pregate_px: float = 6.0  # cull depth landmarks whose reprojection at
     # the predicted pose is already off by this many pixels (wrong depth)

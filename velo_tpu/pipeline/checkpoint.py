@@ -24,13 +24,22 @@ def _leaf_names(tree: Any):
     return names, arrays
 
 
-def save_carry(path: str, carry: Any, frame_idx: int | None = None) -> None:
+def save_carry(path: str, carry: Any, frame_idx: int | None = None,
+               history: dict[str, np.ndarray] | None = None) -> None:
+    """Dump the carry pytree (+ optional per-frame history arrays).
+
+    ``history`` holds the trajectory/diagnostics accumulated so far (poses,
+    per-frame counters) so a resumed run can return the FULL sequence rather
+    than just the post-checkpoint tail.
+    """
     names, arrays = _leaf_names(carry)
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     payload = {f"leaf_{i}": a for i, a in enumerate(arrays)}
     payload["__names__"] = np.asarray(names)
     if frame_idx is not None:
         payload["__frame_idx__"] = np.asarray(frame_idx)
+    for k, v in (history or {}).items():
+        payload[f"__hist_{k}__"] = np.asarray(v)
     tmp = path + ".tmp"
     np.savez_compressed(tmp, **payload)
     os.replace(tmp + ".npz" if not tmp.endswith(".npz") else tmp, path)
@@ -60,6 +69,16 @@ def load_carry(path: str, template: Any) -> Any:
             )
         out.append(arr.astype(np.asarray(leaf).dtype))
     return jax.tree_util.tree_unflatten(treedef, out)
+
+
+def load_history(path: str) -> dict[str, np.ndarray]:
+    """Per-frame history arrays stored alongside the carry (may be empty)."""
+    data = np.load(path, allow_pickle=False)
+    return {
+        k[len("__hist_"):-2]: data[k]
+        for k in data.files
+        if k.startswith("__hist_") and k.endswith("__")
+    }
 
 
 def checkpoint_frame(path: str) -> int | None:

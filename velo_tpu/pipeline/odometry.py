@@ -232,6 +232,9 @@ def step(carry: OdomCarry, scan: jnp.ndarray, scan_mask: jnp.ndarray,
             edge_cands=e_cands, planar_cands=p_cands, prior_T=T_pred,
             prior_scale=prior_scale,
         )
+        # Features are (so far) corrected relative to the predicted motion;
+        # refined to delta1 below when the redeskew fixed point runs.
+        deskew_ref = carry.delta
     # Deskew/solve fixed point: the first solve ran on features deskewed with
     # the *predicted* motion; re-correct them with the solved motion and solve
     # again, otherwise a prediction bias self-perpetuates (each solve matches
@@ -268,8 +271,6 @@ def step(carry: OdomCarry, scan: jnp.ndarray, scan_mask: jnp.ndarray,
         )
         # From here on the features are corrected relative to delta1.
         deskew_ref = delta1
-    else:
-        deskew_ref = carry.delta
 
     # Plausibility gate: between 10 Hz frames the motion cannot jump far from
     # the constant-velocity prediction; a solve that claims otherwise has
@@ -443,14 +444,16 @@ def run_sequence_host(frames, cfg: VeloConfig, carry=None, cam=None,
     ``frames`` yields (scan, mask) or (scan, mask, image).
     Returns (poses (F,4,4) numpy, diagnostics dict of numpy arrays).
 
-    With ``checkpoint_path`` + ``checkpoint_every``, the carry pytree is
-    dumped every N frames (crash recovery, SURVEY.md §5); ``resume=True``
-    reloads it and skips the already-processed frames.  Resumed runs return
-    poses only for the frames processed after the checkpoint.
+    With ``checkpoint_path`` + ``checkpoint_every``, the carry pytree AND the
+    trajectory-so-far are dumped every N frames (crash recovery, SURVEY.md
+    §5); ``resume=True`` reloads both and skips the already-processed frames,
+    so resumed runs return the FULL trajectory, identical to an
+    uninterrupted run.
     """
     from velo_tpu.pipeline import checkpoint as ckpt
 
     skip = 0
+    poses, diags = [], []
     if carry is None:
         carry = init_carry(cfg)
     if resume:
@@ -460,7 +463,15 @@ def run_sequence_host(frames, cfg: VeloConfig, carry=None, cam=None,
             )
         carry = ckpt.load_carry(checkpoint_path, carry)
         skip = int(np.asarray(carry.frame_idx))
-    poses, diags = [], []
+        hist = ckpt.load_history(checkpoint_path)
+        if "poses" not in hist:
+            raise ValueError(
+                f"checkpoint {checkpoint_path} predates trajectory history; "
+                "rerun from scratch (resume would return a truncated file)"
+            )
+        poses = list(hist["poses"])
+        diags = list(zip(hist["n_edge"], hist["n_planar"], hist["cost"],
+                         hist["degenerate"]))
     for i, frame in enumerate(frames):
         if i < skip:
             continue
@@ -474,9 +485,17 @@ def run_sequence_host(frames, cfg: VeloConfig, carry=None, cam=None,
         if checkpoint_path and checkpoint_every and (
                 (i + 1) % checkpoint_every == 0):
             # jit_step donates the carry, so snapshot via host copy.
+            n_e, n_p, cost, degen = zip(*diags)
             ckpt.save_carry(checkpoint_path,
                             jax.tree.map(np.asarray, carry),
-                            frame_idx=i + 1)
+                            frame_idx=i + 1,
+                            history={
+                                "poses": np.stack(poses),
+                                "n_edge": np.asarray(n_e),
+                                "n_planar": np.asarray(n_p),
+                                "cost": np.asarray(cost),
+                                "degenerate": np.asarray(degen),
+                            })
     n_e, n_p, cost, degen = zip(*diags)
     return np.stack(poses), {
         "n_edge": np.asarray(n_e),

@@ -245,7 +245,7 @@ def make_lidar_system(edges, edge_mask, line_a, line_b, line_ok,
         pe = se3.apply(T[None], edges[None])[0]
         re, dre, oke = res.point_to_line(pe, line_a, line_b,
                                          line_ok & edge_mask)
-        we = res.huber_weight(re, cfg.huber_delta_icp) * oke
+        we = res.robust_weight(re, cfg.huber_delta_icp, cfg.icp_loss) * oke
         if edge_q is not None:
             we = we * edge_q
         Je = jnp.einsum("ki,kij->kj", dre, res.point_jacobian(pe))
@@ -253,7 +253,7 @@ def make_lidar_system(edges, edge_mask, line_a, line_b, line_ok,
         pp = se3.apply(T[None], planars[None])[0]
         rp, drp, okp = res.point_to_plane(pp, pl_n, pl_d,
                                           pl_ok & planar_mask)
-        wp = res.huber_weight(rp, cfg.huber_delta_icp) * okp
+        wp = res.robust_weight(rp, cfg.huber_delta_icp, cfg.icp_loss) * okp
         if planar_q is not None:
             wp = wp * planar_q
         Jp = jnp.einsum("ki,kij->kj", drp, res.point_jacobian(pp))
@@ -262,8 +262,10 @@ def make_lidar_system(edges, edge_mask, line_a, line_b, line_ok,
             "ki,kj->ij", Jp * wp[:, None], Jp
         )
         g = Je.T @ (we * re) + Jp.T @ (wp * rp)
-        cost = jnp.sum(res.huber_cost(re, cfg.huber_delta_icp) * oke) + jnp.sum(
-            res.huber_cost(rp, cfg.huber_delta_icp) * okp
+        cost = jnp.sum(
+            res.robust_cost(re, cfg.huber_delta_icp, cfg.icp_loss) * oke
+        ) + jnp.sum(
+            res.robust_cost(rp, cfg.huber_delta_icp, cfg.icp_loss) * okp
         )
 
         Ha, ga, ca = _vis_prior_terms6(T, cfg, vis, w_prior, prior_inv)
@@ -283,86 +285,85 @@ def _vis_prior_terms6(T, cfg: SolverConfig, vis, w_prior, prior_inv):
     g = jnp.zeros((6,), T.dtype)
     cost = jnp.zeros((), T.dtype)
 
-    if True:
-        if w_prior is not None:
-            # Dead-zone prior: deviations within the physical acceleration
-            # range cost nothing (a quadratic prior measurably *drags* the
-            # solve against real turns: mean -0.4 deg/frame yaw error during
-            # sustained yaw ramps); only the excess beyond the dead zone is
-            # penalized, so the prior is purely a tail-container.
-            # J = dlog(exp(xi) T prior^-1)/dxi ~ I for the small per-frame
-            # deviations the prior is meant to bound.
-            r_pr = se3.log(T @ prior_inv)
+    if w_prior is not None:
+        # Dead-zone prior: deviations within the physical acceleration
+        # range cost nothing (a quadratic prior measurably *drags* the
+        # solve against real turns: mean -0.4 deg/frame yaw error during
+        # sustained yaw ramps); only the excess beyond the dead zone is
+        # penalized, so the prior is purely a tail-container.
+        # J = dlog(exp(xi) T prior^-1)/dxi ~ I for the small per-frame
+        # deviations the prior is meant to bound.
+        r_pr = se3.log(T @ prior_inv)
 
-            def _dz(r3, dz):
-                n = jnp.linalg.norm(r3)
-                scale = jnp.maximum(0.0, 1.0 - dz / jnp.maximum(n, 1e-9))
-                return r3 * scale, (n > dz).astype(r3.dtype)
+        def _dz(r3, dz):
+            n = jnp.linalg.norm(r3)
+            scale = jnp.maximum(0.0, 1.0 - dz / jnp.maximum(n, 1e-9))
+            return r3 * scale, (n > dz).astype(r3.dtype)
 
-            r_t, a_t = _dz(r_pr[:3], cfg.prior_deadzone_trans)
-            r_r, a_r = _dz(r_pr[3:], cfg.prior_deadzone_rot)
-            r_eff = jnp.concatenate([r_t, r_r])
-            active = jnp.concatenate([jnp.full(3, a_t), jnp.full(3, a_r)])
-            H = H + jnp.diag(w_prior * active)
-            g = g + w_prior * r_eff
-            cost = cost + 0.5 * jnp.sum(w_prior * r_eff * r_eff)
+        r_t, a_t = _dz(r_pr[:3], cfg.prior_deadzone_trans)
+        r_r, a_r = _dz(r_pr[3:], cfg.prior_deadzone_rot)
+        r_eff = jnp.concatenate([r_t, r_r])
+        active = jnp.concatenate([jnp.full(3, a_t), jnp.full(3, a_r)])
+        H = H + jnp.diag(w_prior * active)
+        g = g + w_prior * r_eff
+        cost = cost + 0.5 * jnp.sum(w_prior * r_eff * r_eff)
 
-        if vis is not None:
-            # Reprojection term: r = pi(P, T_cv T^-1 X_prev) - obs, with the
-            # left-perturbation chain  dX_cam/dxi = -R_cv R^T [I | -hat(X_prev)].
-            R = T[:3, :3]
-            Y = se3.apply(se3.inv(T)[None], vis.xyz_prev_velo[None])[0]
-            X_cam = se3.apply(vis.T_cam_velo[None], Y[None])[0]
-            rv, dr_dX, okv = res.reprojection(X_cam, vis.P, vis.obs_uv,
-                                              vis.mask)
-            A = -(vis.T_cam_velo[:3, :3] @ R.T)  # (3,3)
-            Jpt = res.point_jacobian(vis.xyz_prev_velo)  # (K,3,6)
-            dX_dxi = jnp.einsum("ij,kjl->kil", A, Jpt)  # (K,3,6)
-            Jv = jnp.einsum("kri,kil->krl", dr_dX, dX_dxi)  # (K,2,6)
-            rnorm = jnp.linalg.norm(rv, axis=-1)
-            # Huber, not a redescending loss: when the motion prediction is
-            # badly wrong (corridor recovery) every visual residual is large
-            # in the SAME direction — a redescending loss would zero exactly
-            # the signal that can pull the solve out.  Wrong-depth outliers
-            # are handled upstream by the consensus pre-gate (odometry.step).
-            wv = (
-                res.huber_weight(rnorm, cfg.huber_delta_repr)
-                * okv
-                * cfg.vis_weight
-            )
-            H = H + jnp.einsum("k,kri,krj->ij", wv, Jv, Jv)
-            g = g + jnp.einsum("k,kri,kr->i", wv, Jv, rv)
-            cost = cost + cfg.vis_weight * jnp.sum(
-                res.huber_cost(rnorm, cfg.huber_delta_repr) * okv
-            )
+    if vis is not None:
+        # Reprojection term: r = pi(P, T_cv T^-1 X_prev) - obs, with the
+        # left-perturbation chain  dX_cam/dxi = -R_cv R^T [I | -hat(X_prev)].
+        R = T[:3, :3]
+        Y = se3.apply(se3.inv(T)[None], vis.xyz_prev_velo[None])[0]
+        X_cam = se3.apply(vis.T_cam_velo[None], Y[None])[0]
+        rv, dr_dX, okv = res.reprojection(X_cam, vis.P, vis.obs_uv,
+                                          vis.mask)
+        A = -(vis.T_cam_velo[:3, :3] @ R.T)  # (3,3)
+        Jpt = res.point_jacobian(vis.xyz_prev_velo)  # (K,3,6)
+        dX_dxi = jnp.einsum("ij,kjl->kil", A, Jpt)  # (K,3,6)
+        Jv = jnp.einsum("kri,kil->krl", dr_dX, dX_dxi)  # (K,2,6)
+        rnorm = jnp.linalg.norm(rv, axis=-1)
+        # Huber, not a redescending loss: when the motion prediction is
+        # badly wrong (corridor recovery) every visual residual is large
+        # in the SAME direction — a redescending loss would zero exactly
+        # the signal that can pull the solve out.  Wrong-depth outliers
+        # are handled upstream by the consensus pre-gate (odometry.step).
+        wv = (
+            res.huber_weight(rnorm, cfg.huber_delta_repr)
+            * okv
+            * cfg.vis_weight
+        )
+        H = H + jnp.einsum("k,kri,krj->ij", wv, Jv, Jv)
+        g = g + jnp.einsum("k,kri,kr->i", wv, Jv, rv)
+        cost = cost + cfg.vis_weight * jnp.sum(
+            res.huber_cost(rnorm, cfg.huber_delta_repr) * okv
+        )
 
-        if (vis is not None and vis.uv_prev is not None
-                and cfg.epi_weight > 0):
-            # Depth-unknown tracks: point-to-epipolar-line residual.  The
-            # pose enters through M = T_cv T^-1 T_vc (prev cam -> cur cam);
-            # Jacobian via jacfwd over the 6 left-perturbation params — the
-            # track table is tiny, so this costs nothing next to LiDAR.
-            Kmat = vis.P[:3, :3]
-            T_velo_cam = se3.inv(vis.T_cam_velo)
+    if (vis is not None and vis.uv_prev is not None
+            and cfg.epi_weight > 0):
+        # Depth-unknown tracks: point-to-epipolar-line residual.  The
+        # pose enters through M = T_cv T^-1 T_vc (prev cam -> cur cam);
+        # Jacobian via jacfwd over the 6 left-perturbation params — the
+        # track table is tiny, so this costs nothing next to LiDAR.
+        Kmat = vis.P[:3, :3]
+        T_velo_cam = se3.inv(vis.T_cam_velo)
 
-            def _epi(xi, Tb):
-                M = vis.T_cam_velo @ se3.inv(se3.exp(xi) @ Tb) @ T_velo_cam
-                r, ok = res.epipolar(M, Kmat, vis.uv_prev, vis.obs_uv,
-                                     vis.mask_nodepth)
-                return r, ok
+        def _epi(xi, Tb):
+            M = vis.T_cam_velo @ se3.inv(se3.exp(xi) @ Tb) @ T_velo_cam
+            r, ok = res.epipolar(M, Kmat, vis.uv_prev, vis.obs_uv,
+                                 vis.mask_nodepth)
+            return r, ok
 
-            zero = jnp.zeros(6, T.dtype)
-            re_, oke_ = _epi(zero, T)
-            Jep = jax.jacfwd(lambda xi: _epi(xi, T)[0])(zero)  # (K, 6)
-            wep = (
-                res.huber_weight(re_, cfg.huber_delta_repr)
-                * oke_ * cfg.epi_weight
-            )
-            H = H + jnp.einsum("k,ki,kj->ij", wep, Jep, Jep)
-            g = g + jnp.einsum("k,ki,k->i", wep, Jep, re_)
-            cost = cost + cfg.epi_weight * jnp.sum(
-                res.huber_cost(re_, cfg.huber_delta_repr) * oke_
-            )
+        zero = jnp.zeros(6, T.dtype)
+        re_, oke_ = _epi(zero, T)
+        Jep = jax.jacfwd(lambda xi: _epi(xi, T)[0])(zero)  # (K, 6)
+        wep = (
+            res.huber_weight(re_, cfg.huber_delta_repr)
+            * oke_ * cfg.epi_weight
+        )
+        H = H + jnp.einsum("k,ki,kj->ij", wep, Jep, Jep)
+        g = g + jnp.einsum("k,ki,k->i", wep, Jep, re_)
+        cost = cost + cfg.epi_weight * jnp.sum(
+            res.huber_cost(re_, cfg.huber_delta_repr) * oke_
+        )
     return H, g, cost
 
 
@@ -526,7 +527,7 @@ def make_lidar_system_ct(edges_base, edge_phase, edge_mask,
         cur = jnp.where(mask[:, None], cur, 0.0)
         p = se3.apply(T[None], cur[None])[0]
         r, dr_dp, ok = fit_res(p)
-        w = res.huber_weight(r, cfg.huber_delta_icp) * ok
+        w = res.robust_weight(r, cfg.huber_delta_icp, cfg.icp_loss) * ok
         if q is not None:
             w = w * q
         J1 = jnp.einsum("ki,kij->kj", dr_dp, res.point_jacobian(p))
@@ -538,7 +539,7 @@ def make_lidar_system_ct(edges_base, edge_phase, edge_mask,
         J = jnp.concatenate([J1, J2], axis=-1)  # (K, 12)
         H = jnp.einsum("ki,kj->ij", J * w[:, None], J)
         g = J.T @ (w * r)
-        cost = jnp.sum(res.huber_cost(r, cfg.huber_delta_icp) * ok)
+        cost = jnp.sum(res.robust_cost(r, cfg.huber_delta_icp, cfg.icp_loss) * ok)
         return H, g, cost
 
     def build(T, xi2):

@@ -148,6 +148,23 @@ def cauchy_cost(r: jnp.ndarray, scale: float) -> jnp.ndarray:
     return 0.5 * scale * scale * jnp.log1p((r / scale) ** 2)
 
 
+def robust_weight(r: jnp.ndarray, delta: float, kind: str) -> jnp.ndarray:
+    """Config-selected IRLS weight (C10 "Huber/Cauchy", SURVEY.md §2)."""
+    if kind == "huber":
+        return huber_weight(r, delta)
+    if kind == "cauchy":
+        return cauchy_weight(r, delta)
+    raise ValueError(f"unknown robust loss {kind!r}")
+
+
+def robust_cost(r: jnp.ndarray, delta: float, kind: str) -> jnp.ndarray:
+    if kind == "huber":
+        return huber_cost(r, delta)
+    if kind == "cauchy":
+        return cauchy_cost(r, delta)
+    raise ValueError(f"unknown robust loss {kind!r}")
+
+
 def fit_line_eig(pts: jnp.ndarray, mask: jnp.ndarray):
     """PCA line fit over (…, k, 3) neighbor sets (LOAM-mapping style).
 
