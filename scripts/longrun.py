@@ -23,11 +23,21 @@ import numpy as np
 
 
 def get_fixture(frames, rings, az, seed=0, distorted=True,
-                with_images=False):
+                with_images=False, noise_std=0.0, dropout=0.0,
+                sixdof=False):
     tag = ("" if distorted else "_nodist") + ("_img" if with_images else "")
+    if noise_std:
+        tag += f"_n{noise_std:g}"
+    if dropout:
+        tag += f"_d{dropout:g}"
+    if sixdof:
+        tag += "_6dof"
     cache = f"/tmp/velo_longrun_{frames}_{rings}_{az}_{seed}{tag}.npz"
     from velo_tpu.io import fixtures, kitti
 
+    # Bumpy-road excitation: ~1.7deg pitch, ~1.1deg roll, 6cm z bobbing.
+    sixdof_kw = (dict(pitch_amp=0.03, roll_amp=0.02, z_amp=0.06)
+                 if sixdof else {})
     n_max = rings * az
     if os.path.exists(cache):
         d = np.load(cache)
@@ -40,13 +50,16 @@ def get_fixture(frames, rings, az, seed=0, distorted=True,
         fx = fixtures.make_fixture(n_frames=frames, n_rings=rings,
                                    n_azimuth=az, with_images=with_images,
                                    height=128, width=384,
-                                   speed=8.0, seed=seed)
+                                   speed=8.0, seed=seed,
+                                   noise_std=noise_std, dropout=dropout,
+                                   **sixdof_kw)
         raw, gt_velo, gt_cam, T_cv = (fx.scans, fx.gt_poses_velo,
                                       fx.gt_poses_cam, fx.T_cam_velo)
     else:
         world = fixtures.default_world(seed)
         rng = np.random.default_rng(seed + 1)
-        poses = fixtures.make_trajectory(frames + 1, speed=8.0, seed=seed + 2)
+        poses = fixtures.make_trajectory(frames + 1, speed=8.0, seed=seed + 2,
+                                         **sixdof_kw)
         raw = [fixtures.simulate_velodyne(world, poses[i], poses[i],
                                           n_rings=rings, n_azimuth=az,
                                           rng=rng) for i in range(frames)]
@@ -122,6 +135,12 @@ def main():
                     help="undistorted scans + deskew off (oracle ceiling)")
     ap.add_argument("--vision", action="store_true",
                     help="fused pipeline (config 4) with rendered images")
+    ap.add_argument("--noise", type=float, default=0.0,
+                    help="Gaussian range noise std in meters (real ~0.02)")
+    ap.add_argument("--dropout", type=float, default=0.0,
+                    help="fraction of returns randomly dropped")
+    ap.add_argument("--sixdof", action="store_true",
+                    help="non-planar trajectory (pitch/roll/z excitation)")
     args = ap.parse_args()
 
     import jax
@@ -134,7 +153,9 @@ def main():
     for seed in [int(s) for s in args.seeds.split(",")]:
         scans, masks, gt_velo, gt_cam, T_cam_velo, images, P = get_fixture(
             args.frames, args.rings, args.azimuth, seed,
-            distorted=not args.nodistort, with_images=args.vision)
+            distorted=not args.nodistort, with_images=args.vision,
+            noise_std=args.noise, dropout=args.dropout,
+            sixdof=args.sixdof)
         scans_d = jnp.asarray(scans)
         masks_d = jnp.asarray(masks)
         images_d = (jnp.asarray(images, jnp.float32)

@@ -29,45 +29,51 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from velo_tpu.config import LidarConfig, VeloConfig
-    from velo_tpu.io import fixtures, kitti
     from velo_tpu.pipeline import odometry
 
+    # Same config + frame cache bench.py uses for this mode, so profiles
+    # measure exactly the program the benchmark measures (ADVICE r2: the
+    # old unsuffixed path could silently profile a stale round-1 cache).
+    import bench as bench_mod
+    from velo_tpu.config import LidarConfig, VeloConfig, VisionConfig
+    from velo_tpu.geom import camera as cam_mod
+
     cfg = VeloConfig(
-        lidar=LidarConfig(n_rings=64, n_azimuth=2048),
+        lidar=LidarConfig(n_rings=bench_mod.RINGS,
+                          n_azimuth=bench_mod.AZ),
+        vision=VisionConfig(height=bench_mod.IMG_H, width=bench_mod.IMG_W),
         use_vision=args.vision,
         use_map=True,
     )
-    # Same cache bench.py uses for this mode, so profiles measure exactly
-    # the frames the benchmark measures (ADVICE r2: the old unsuffixed path
-    # could silently profile a stale round-1 cache).
-    import bench as bench_mod
-
-    cache = bench_mod.cache_path("fused" if args.vision else "lidar")
-    if os.path.exists(cache):
-        d = np.load(cache)
-        scans_np, masks_np = d["scans"], d["masks"]
-    else:
-        fx = fixtures.make_fixture(n_frames=10, n_rings=64, n_azimuth=2048,
-                                   with_images=False, speed=8.0)
-        padded = [kitti.pad_scan(s, cfg.n_max_points) for s in fx.scans]
-        scans_np = np.stack([p[0] for p in padded])
-        masks_np = np.stack([p[1] for p in padded])
+    mode = "fused" if args.vision else "lidar"
+    scans_np, masks_np, images_np, P, T_cam_velo = bench_mod.get_frames(
+        cfg, args.vision, bench_mod.cache_path(mode))
     scans = jnp.asarray(scans_np)
     masks = jnp.asarray(masks_np)
     F = min(args.frames, scans.shape[0])
+    if args.vision:
+        images = jnp.asarray(images_np, jnp.float32)
+        cam = cam_mod.Camera(
+            P=jnp.asarray(P, jnp.float32),
+            T_cam_velo=jnp.asarray(T_cam_velo, jnp.float32),
+            width=bench_mod.IMG_W, height=bench_mod.IMG_H,
+        )
+        step = jax.jit(lambda c, s, m, im: odometry.step(
+            c, s, m, cfg, image=im, cam=cam))
+        frame_args = lambda i: (scans[i], masks[i], images[i])
+    else:
+        step = jax.jit(lambda c, s, m: odometry.step(c, s, m, cfg))
+        frame_args = lambda i: (scans[i], masks[i])
 
     carry = odometry.init_carry(cfg)
-    step = jax.jit(lambda c, s, m: odometry.step(c, s, m, cfg))
     # Warmup / compile.
-    carry, out = step(carry, scans[0], masks[0])
+    carry, out = step(carry, *frame_args(0))
     jax.block_until_ready(out.T_w)
 
     os.makedirs(args.logdir, exist_ok=True)
     with jax.profiler.trace(args.logdir):
         for i in range(F):
-            carry, out = step(carry, scans[i % scans.shape[0]],
-                              masks[i % scans.shape[0]])
+            carry, out = step(carry, *frame_args(i % scans.shape[0]))
         jax.block_until_ready(out.T_w)
 
     xs = sorted(glob.glob(os.path.join(args.logdir, "**", "*.xplane.pb"),

@@ -63,3 +63,40 @@ def test_fixture_end_to_end(tmp_path):
     kitti.write_poses(str(p), fx.gt_poses_cam)
     back = kitti.read_poses(str(p))
     np.testing.assert_allclose(back, fx.gt_poses_cam, atol=1e-7)
+
+
+def test_trajectory_sixdof_excitation():
+    """6-DoF trajectories (VERDICT r2 Missing#4): defaults stay exactly
+    planar; with amps set, pitch/roll/z are excited and poses stay SE(3)."""
+    from velo_tpu.io import fixtures
+
+    planar = fixtures.make_trajectory(40, seed=3)
+    np.testing.assert_allclose(planar[:, 2, 3], 0.0)
+    np.testing.assert_allclose(planar[:, 2, 2], 1.0)
+    np.testing.assert_allclose(planar[:, :3, 2][:, :2], 0.0, atol=1e-12)
+
+    bumpy = fixtures.make_trajectory(40, seed=3, pitch_amp=0.03,
+                                     roll_amp=0.02, z_amp=0.06)
+    R = bumpy[:, :3, :3]
+    np.testing.assert_allclose(
+        np.einsum("fij,fkj->fik", R, R), np.broadcast_to(np.eye(3), R.shape),
+        atol=1e-10)
+    np.testing.assert_allclose(np.linalg.det(R), 1.0, atol=1e-10)
+    # z bobs with the requested amplitude; pitch tilts the forward axis.
+    assert np.abs(bumpy[:, 2, 3]).max() > 0.03
+    assert np.abs(bumpy[:, 2, 3]).max() <= 0.06 + 1e-9
+    fwd_z = R[:, 2, 0]  # z component of the body x axis
+    assert np.abs(fwd_z).max() > 0.015
+    # The planar sub-motion is unchanged by the new DoF (same x/y path).
+    np.testing.assert_allclose(bumpy[:, :2, 3], planar[:, :2, 3], atol=1e-12)
+
+
+def test_fixture_dropout_removes_points():
+    from velo_tpu.io import fixtures
+
+    full = fixtures.make_fixture(n_frames=2, n_rings=16, n_azimuth=256,
+                                 with_images=False, seed=5)
+    dropped = fixtures.make_fixture(n_frames=2, n_rings=16, n_azimuth=256,
+                                    with_images=False, seed=5, dropout=0.3)
+    for f, d in zip(full.scans, dropped.scans):
+        assert 0.6 * len(f) < len(d) < 0.8 * len(f)

@@ -56,42 +56,61 @@ def build_parser():
 
 
 def run_batch_mode(args):
-    """Config-5 driver: N independent synthetic sequences, one program."""
+    """Config-5 driver: N independent synthetic sequences, one program.
+
+    Honors --no-vision like single-sequence mode: by default each sequence
+    runs the fused (config-4) pipeline with rendered images.
+    """
+    import jax.numpy as jnp
     import numpy as np
 
-    from velo_tpu.config import LidarConfig, VeloConfig
+    from velo_tpu.config import LidarConfig, VeloConfig, VisionConfig
     from velo_tpu.evaluation import kitti_metric
+    from velo_tpu.geom import camera as cam_mod
     from velo_tpu.io import fixtures, kitti
     from velo_tpu.pipeline import batch as batch_mod
     from velo_tpu.pipeline import odometry
 
+    use_vision = not args.no_vision
     rings = args.rings or 32
     az = args.azimuth or 1024
+    h, w = 128, 384
     cfg = VeloConfig(
         lidar=LidarConfig(n_rings=rings, n_azimuth=az),
-        use_vision=False,
+        vision=VisionConfig(height=h, width=w, k_tracks=128, grid_cols=24),
+        use_vision=use_vision,
         use_map=not args.no_map,
         use_deskew=not args.no_deskew,
         n_max_points=rings * az,
     )
     print(f"simulating {args.batch} sequences x {args.frames} frames…",
           file=sys.stderr)
-    scans, masks, gts, tcvs = [], [], [], []
+    scans, masks, gts, tcvs, images = [], [], [], [], []
+    cam = None
     for b in range(args.batch):
         fx = fixtures.make_fixture(n_frames=args.frames, n_rings=rings,
-                                   n_azimuth=az, with_images=False,
-                                   seed=100 + b)
+                                   n_azimuth=az, with_images=use_vision,
+                                   height=h, width=w, seed=100 + b)
         padded = [kitti.pad_scan(s, cfg.n_max_points) for s in fx.scans]
         scans.append(np.stack([p[0] for p in padded]))
         masks.append(np.stack([p[1] for p in padded]))
         gts.append(fx.gt_poses_cam)
         tcvs.append(fx.T_cam_velo)
+        if use_vision:
+            images.append(fx.images)
+            if cam is None:  # shared calibration across synthetic sequences
+                cam = cam_mod.Camera(
+                    P=jnp.asarray(fx.P, jnp.float32),
+                    T_cam_velo=jnp.asarray(fx.T_cam_velo, jnp.float32),
+                    width=w, height=h)
     scans = np.stack(scans)
     masks = np.stack(masks)
+    images = np.stack(images) if use_vision else None
 
     t0 = time.perf_counter()
     poses, diag = batch_mod.run_sequences(scans, masks, cfg,
-                                          shard=args.shard)
+                                          shard=args.shard,
+                                          images=images, cam=cam)
     dt = time.perf_counter() - t0
     os.makedirs(args.out, exist_ok=True)
     rows = []

@@ -61,6 +61,10 @@ class VisionConfig:
     pyr_levels: int = 4
     klt_halfwin: int = 7  # (2*7+1)^2 = 15x15 patch
     klt_iters: int = 8  # GN iterations per pyramid level
+    klt_impl: str = "auto"  # patch sampling: "auto" (matmul on TPU, gather
+    # elsewhere) | "matmul" | "gather" — forced values are for testing
+    klt_dtype: str = "bf16"  # matmul-path operand dtype: "bf16" (1-pass
+    # MXU; quantization ~4e-3 intensity, far below tracking noise) | "f32"
     fb_max_err: float = 1.0  # forward-backward consistency gate (px)
     min_corner_response: float = 1e-4
     depth_grid_cell: int = 4  # pixel bucket size for LiDAR depth association

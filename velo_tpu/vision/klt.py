@@ -31,15 +31,23 @@ class TrackResult(NamedTuple):
     fb_err: jnp.ndarray  # (K,) forward-backward error in px
 
 
-def _sample_patches(img, centers, halfwin: int):
+def _sample_patches(img, centers, cfg: VisionConfig):
     """(K, P) bilinear patches + per-feature in-bounds flag.
 
-    TPU: matmul formulation (MXU; scalar-unit gathers cost ~74 ms/frame in
-    the fused trace).  Other backends: flat gathers (cheaper on CPU).
+    TPU (``klt_impl="auto"``): matmul formulation (MXU; scalar-unit gathers
+    cost ~74 ms/frame in the fused trace), with bf16 selection operands
+    (``klt_dtype``) for single-pass MXU.  Other backends: flat gathers
+    (cheaper on CPU).  ``klt_impl`` forces either path for testing.
     """
     K = centers.shape[0]
-    if jax.default_backend() == "tpu":
-        p, inb = pyr.bilinear_patches_matmul(img, centers, halfwin)
+    halfwin = cfg.klt_halfwin
+    impl = cfg.klt_impl
+    if impl == "auto":
+        impl = "matmul" if jax.default_backend() == "tpu" else "gather"
+    if impl == "matmul":
+        dtype = jnp.bfloat16 if cfg.klt_dtype == "bf16" else None
+        p, inb = pyr.bilinear_patches_matmul(img, centers, halfwin,
+                                             dtype=dtype)
         return p.reshape(K, -1), inb
     offs = pyr.patch_offsets(halfwin)
     vals, inb = pyr.bilinear_sample(img, centers[:, None, :] + offs[None])
@@ -47,12 +55,13 @@ def _sample_patches(img, centers, halfwin: int):
 
 
 def _track_level(img_prev, gx_prev, gy_prev, img_cur, uv_prev, uv_cur,
-                 halfwin: int, iters: int):
+                 cfg: VisionConfig):
     """One pyramid level of IC-LK for all features. Returns (uv_cur, ok)."""
+    iters = cfg.klt_iters
     # Fixed template + gradients at the previous-image feature location.
-    tmpl, t_in = _sample_patches(img_prev, uv_prev, halfwin)
-    gx, _ = _sample_patches(gx_prev, uv_prev, halfwin)
-    gy, _ = _sample_patches(gy_prev, uv_prev, halfwin)
+    tmpl, t_in = _sample_patches(img_prev, uv_prev, cfg)
+    gx, _ = _sample_patches(gx_prev, uv_prev, cfg)
+    gy, _ = _sample_patches(gy_prev, uv_prev, cfg)
     ok = t_in
 
     gxx = jnp.sum(gx * gx, axis=1)
@@ -67,7 +76,7 @@ def _track_level(img_prev, gx_prev, gy_prev, img_cur, uv_prev, uv_cur,
     inv11 = gxx / safe_det
 
     def body(_, uv):
-        cur, c_in = _sample_patches(img_cur, uv, halfwin)
+        cur, c_in = _sample_patches(img_cur, uv, cfg)
         e = cur - tmpl
         bx = jnp.sum(gx * e, axis=1)
         by = jnp.sum(gy * e, axis=1)
@@ -78,7 +87,10 @@ def _track_level(img_prev, gx_prev, gy_prev, img_cur, uv_prev, uv_cur,
         step_ok = (ok & c_in)[:, None]
         return uv - jnp.where(step_ok, d, 0.0)
 
-    uv_out = jax.lax.fori_loop(0, iters, body, uv_cur)
+    # Fully unrolled: each XLA `while` trip costs ~30 us on TPU, and the 8
+    # whiles (4 levels x fwd/bwd) x klt_iters trips were ~1 ms/frame of pure
+    # loop overhead in the fused trace.
+    uv_out = jax.lax.fori_loop(0, iters, body, uv_cur, unroll=True)
     H, W = img_cur.shape
     inb = (
         (uv_out[:, 0] >= 1)
@@ -104,8 +116,7 @@ def track_pyramid(prev_pyr, cur_pyr, prev_grads, uv0, valid,
     for lv in range(levels - 1, -1, -1):
         gx, gy = prev_grads[lv]
         uv, lok = _track_level(
-            prev_pyr[lv], gx, gy, cur_pyr[lv], uv0 / (2.0**lv), uv,
-            cfg.klt_halfwin, cfg.klt_iters,
+            prev_pyr[lv], gx, gy, cur_pyr[lv], uv0 / (2.0**lv), uv, cfg,
         )
         # A coarse level that cannot track a feature (patch out of bounds on
         # the tiny top levels, degenerate gradient) must not kill the track —

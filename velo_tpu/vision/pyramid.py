@@ -84,7 +84,7 @@ def patch_offsets(halfwin: int) -> jnp.ndarray:
 
 
 def bilinear_patches_matmul(img: jnp.ndarray, centers: jnp.ndarray,
-                            halfwin: int):
+                            halfwin: int, dtype=None):
     """Bilinear (K, S, S) patches around float centers — zero gathers.
 
     TPU executes arbitrary-index gathers on the scalar unit (the KLT level
@@ -96,8 +96,16 @@ def bilinear_patches_matmul(img: jnp.ndarray, centers: jnp.ndarray,
         strips  = img @ Wcol(x0, fx)      # (H, W) @ (W, K*S) -> (H, K*S)
         patches = Wrow(y0, fy) @ strips   # batched (K, S, H) @ (K, H, S)
 
-    Returns (patches (K, S, S), in_bounds (K,)); out-of-image rows/cols
-    select nothing (zero weight), and `in_bounds` flags affected features.
+    With ``dtype=bfloat16`` the selection operands run one MXU pass instead
+    of the multi-pass fp32 emulation (~6x cheaper; the production KLT path
+    uses this): intensities are in [0,1] and the subpixel weights only need
+    ~2^-8 relative precision, so the quantization (~4e-3 intensity, ~0.004 px
+    in the weights) is far below KLT's tracking noise — accumulation stays
+    fp32 via ``preferred_element_type``.
+
+    Returns (patches (K, S, S) float32, in_bounds (K,)); out-of-image
+    rows/cols select nothing (zero weight), and `in_bounds` flags affected
+    features.
     """
     H, W = img.shape
     K = centers.shape[0]
@@ -115,16 +123,28 @@ def bilinear_patches_matmul(img: jnp.ndarray, centers: jnp.ndarray,
     wcol = (src == tgt) * (1.0 - fx)[None, :, None] + (src == tgt + 1) * fx[
         None, :, None
     ]  # (W, K, S)
-    strips = jnp.einsum(
-        "hw,wks->hks", img, wcol, precision=jax.lax.Precision.HIGHEST
-    )  # (H, K, S)
 
     rsrc = jnp.arange(H, dtype=jnp.int32)[None, None, :]  # (1,1,H)
     rtgt = y0[:, None, None] + jnp.arange(S, dtype=jnp.int32)[None, :, None]
     wrow = (rsrc == rtgt) * (1.0 - fy)[:, None, None] + (rsrc == rtgt + 1) * fy[
         :, None, None
     ]  # (K, S, H)
-    patches = jnp.einsum(
-        "krh,hkc->krc", wrow, strips, precision=jax.lax.Precision.HIGHEST
-    )  # (K, S, S)
+
+    if dtype is not None:
+        strips = jnp.einsum(
+            "hw,wks->hks", img.astype(dtype), wcol.astype(dtype),
+            preferred_element_type=jnp.float32,
+        )  # (H, K, S)
+        patches = jnp.einsum(
+            "krh,hkc->krc", wrow.astype(dtype), strips.astype(dtype),
+            preferred_element_type=jnp.float32,
+        )  # (K, S, S)
+    else:
+        strips = jnp.einsum(
+            "hw,wks->hks", img, wcol, precision=jax.lax.Precision.HIGHEST
+        )
+        patches = jnp.einsum(
+            "krh,hkc->krc", wrow, strips,
+            precision=jax.lax.Precision.HIGHEST
+        )
     return patches, inb
