@@ -1,0 +1,120 @@
+"""Multi-host config-5 smoke test (SURVEY.md §4.2 / §5 distributed row).
+
+Two CPU processes x 4 fake devices each form a global 8-device mesh via
+``jax.distributed`` — the standard JAX way to validate multi-host programs
+without a cluster.  Each process contributes 4 tiny synthetic sequences;
+the sharded batched odometry runs over the global mesh, a cross-host mean
+cost exercises one collective, and the local results must match a
+single-process (unsharded) reference run.
+"""
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+WORKER = r"""
+import json, os, sys
+sys.path.insert(0, {repo!r})
+import jax
+jax.distributed.initialize(coordinator_address={coord!r},
+                           num_processes=2,
+                           process_id={pid},
+                           local_device_ids=None)
+import numpy as np
+from velo_tpu.config import LidarConfig, MapConfig, SolverConfig, VeloConfig
+from velo_tpu.io import fixtures, kitti
+from velo_tpu.pipeline import distributed as dist_mod
+
+cfg = VeloConfig(
+    lidar=LidarConfig(n_rings=16, n_azimuth=256, n_sectors=8),
+    solver=SolverConfig(hash_capacity=1024, icp_iters_odom=2,
+                        icp_iters_map=2, icp_iters_redeskew=1, lm_iters=2),
+    map=MapConfig(edge_capacity=1024, planar_capacity=2048),
+    n_max_points=4096, use_vision=False, use_map=True,
+)
+B_local, F = 4, 3
+scans, masks = [], []
+for b in range(B_local):
+    seed = 100 + {pid} * B_local + b
+    fx = fixtures.make_fixture(n_frames=F, n_rings=16, n_azimuth=256,
+                               with_images=False, seed=seed)
+    padded = [kitti.pad_scan(s, cfg.n_max_points) for s in fx.scans]
+    scans.append(np.stack([p[0] for p in padded]))
+    masks.append(np.stack([p[1] for p in padded]))
+poses, diag, gcost = dist_mod.run_sequences_multihost(
+    np.stack(scans), np.stack(masks), cfg, with_global_cost=True)
+np.savez({out!r}, poses=poses, gcost=gcost)
+print("WORKER_OK", {pid}, flush=True)
+"""
+
+
+@pytest.mark.slow
+def test_two_process_multihost_matches_single(tmp_path):
+    port = socket.socket().getsockname()
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    coord = f"127.0.0.1:{port}"
+
+    procs = []
+    for pid in range(2):
+        env = dict(os.environ)
+        env["JAX_PLATFORMS"] = "cpu"
+        env["PALLAS_AXON_POOL_IPS"] = ""
+        prior = [f for f in env.get("XLA_FLAGS", "").split()
+                 if "host_platform_device_count" not in f]
+        env["XLA_FLAGS"] = " ".join(
+            prior + ["--xla_force_host_platform_device_count=4"])
+        script = WORKER.format(repo=REPO, coord=coord, pid=pid,
+                               out=str(tmp_path / f"w{pid}.npz"))
+        procs.append(subprocess.Popen(
+            [sys.executable, "-c", script], env=env,
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True))
+    outs = [p.communicate(timeout=900) for p in procs]
+    for pid, (p, (so, se)) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"worker {pid} failed:\n{so}\n{se}"
+        assert f"WORKER_OK {pid}" in so
+
+    # Single-process reference over the same 8 sequences.
+    from velo_tpu.config import (LidarConfig, MapConfig, SolverConfig,
+                                 VeloConfig)
+    from velo_tpu.io import fixtures, kitti
+    from velo_tpu.pipeline import batch as batch_mod
+
+    cfg = VeloConfig(
+        lidar=LidarConfig(n_rings=16, n_azimuth=256, n_sectors=8),
+        solver=SolverConfig(hash_capacity=1024, icp_iters_odom=2,
+                            icp_iters_map=2, icp_iters_redeskew=1,
+                            lm_iters=2),
+        map=MapConfig(edge_capacity=1024, planar_capacity=2048),
+        n_max_points=4096, use_vision=False, use_map=True,
+    )
+    scans, masks = [], []
+    for seed in range(100, 108):
+        fx = fixtures.make_fixture(n_frames=3, n_rings=16, n_azimuth=256,
+                                   with_images=False, seed=seed)
+        padded = [kitti.pad_scan(s, cfg.n_max_points) for s in fx.scans]
+        scans.append(np.stack([p[0] for p in padded]))
+        masks.append(np.stack([p[1] for p in padded]))
+    ref_poses, ref_diag = batch_mod.run_sequences(
+        np.stack(scans), np.stack(masks), cfg)
+
+    w0 = np.load(tmp_path / "w0.npz")
+    w1 = np.load(tmp_path / "w1.npz")
+    got = np.concatenate([w0["poses"], w1["poses"]], axis=0)
+    assert got.shape == ref_poses.shape
+    # SPMD partitioning reorders float reductions vs the unsharded
+    # reference, and the ICP accept gates amplify that; ~1 cm agreement is
+    # the same envelope as the recorded CPU<->TPU parity (PARITY.json).
+    np.testing.assert_allclose(got, ref_poses, atol=2e-2)
+    # Both processes agree on the replicated cross-host collective.
+    assert np.isclose(float(w0["gcost"]), float(w1["gcost"]), rtol=1e-5)
+    assert np.isclose(float(w0["gcost"]), float(ref_diag["cost"].mean()),
+                      rtol=2e-2)

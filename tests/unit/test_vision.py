@@ -175,46 +175,25 @@ def test_bilinear_patches_matmul_matches_gather(rng):
     assert np.isfinite(np.asarray(p_e)).all()
 
 
-def test_pallas_klt_kernel_interpret_parity():
-    """Pallas IC-LK kernel == pure-JAX level tracker (interpret mode)."""
-    from velo_tpu.pallas import klt_kernel
-
-    imgs, *_ = _render()
-    img = imgs[0]
-    img2 = np.roll(np.roll(img, 2, axis=0), 4, axis=1)
-    cfg = vcfg()
-    c = corners.detect(jnp.asarray(img), cfg)
-    gx, gy = pyramid.scharr_gradients(jnp.asarray(img))
-    uv_ref, ok_ref = klt._track_level(
-        jnp.asarray(img), gx, gy, jnp.asarray(img2), c.uv, c.uv, cfg,
-    )
-    uv_k, ok_k = klt_kernel.track_level(
-        jnp.asarray(img), gx, gy, jnp.asarray(img2), c.uv, c.uv,
-        halfwin=cfg.klt_halfwin, iters=cfg.klt_iters, interpret=True,
-    )
-    both = np.asarray(ok_ref) & np.asarray(ok_k) & np.asarray(c.valid)
-    assert both.sum() > 30
-    d = np.linalg.norm(np.asarray(uv_ref)[both] - np.asarray(uv_k)[both],
-                       axis=1)
-    assert np.median(d) < 0.05, np.median(d)
-
-
 def test_klt_matmul_bf16_matches_gather_path():
-    """Production TPU path (matmul + bf16 selection operands) tracks the
-    same flows as the exact gather path to well under tracking noise."""
+    """Production TPU paths (global-matmul and local-window, bf16 selection
+    operands) track the same flows as the exact gather path to well under
+    tracking noise."""
     imgs, *_ = _render(n_poses=2, speed=6.0)
     c = corners.detect(jnp.asarray(imgs[0]), vcfg())
     flows = {}
-    for impl, dtype in (("gather", "f32"), ("matmul", "bf16")):
+    for impl, dtype in (("gather", "f32"), ("matmul", "bf16"),
+                        ("window", "bf16")):
         cfg = vcfg(klt_impl=impl, klt_dtype=dtype)
         p_prev = pyramid.build_pyramid(jnp.asarray(imgs[0]), cfg.pyr_levels)
         p_cur = pyramid.build_pyramid(jnp.asarray(imgs[1]), cfg.pyr_levels)
         res = klt.track(p_prev, p_cur, klt.frame_gradients(p_prev),
                         klt.frame_gradients(p_cur), c.uv, c.valid, cfg)
         flows[impl] = res
-    ok = (np.asarray(flows["gather"].ok) & np.asarray(flows["matmul"].ok))
-    assert ok.sum() > 30
-    d = np.linalg.norm(np.asarray(flows["gather"].uv)[ok]
-                       - np.asarray(flows["matmul"].uv)[ok], axis=1)
-    assert np.median(d) < 0.05, np.median(d)
-    assert np.percentile(d, 90) < 0.2, np.percentile(d, 90)
+    for impl in ("matmul", "window"):
+        ok = (np.asarray(flows["gather"].ok) & np.asarray(flows[impl].ok))
+        assert ok.sum() > 30, impl
+        d = np.linalg.norm(np.asarray(flows["gather"].uv)[ok]
+                           - np.asarray(flows[impl].uv)[ok], axis=1)
+        assert np.median(d) < 0.05, (impl, np.median(d))
+        assert np.percentile(d, 90) < 0.2, (impl, np.percentile(d, 90))

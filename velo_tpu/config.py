@@ -61,11 +61,18 @@ class VisionConfig:
     pyr_levels: int = 4
     klt_halfwin: int = 7  # (2*7+1)^2 = 15x15 patch
     klt_iters: int = 8  # GN iterations per pyramid level
-    klt_impl: str = "auto"  # patch sampling: "auto" (matmul on TPU, gather
-    # elsewhere) | "matmul" | "gather" — forced values are for testing
+    klt_impl: str = "auto"  # patch sampling: "auto" (local-window matmuls
+    # on TPU, gather elsewhere) | "window" | "matmul" | "gather" — forced
+    # values are for testing
     klt_dtype: str = "bf16"  # matmul-path operand dtype: "bf16" (1-pass
     # MXU; quantization ~4e-3 intensity, far below tracking noise) | "f32"
+    klt_win_slack: int = 8  # window-impl per-level flow budget (px): the
+    # GN iterations can move at most this far from the level's initial
+    # guess before the track freezes at the window edge
     fb_max_err: float = 1.0  # forward-backward consistency gate (px)
+    fb_levels: int = 1  # pyramid levels of the backward FB pass (finest-n,
+    # initialized at the expected position; = pyr_levels for the classic
+    # full uninitialized backward track)
     min_corner_response: float = 1e-4
     depth_grid_cell: int = 4  # pixel bucket size for LiDAR depth association
     depth_search_cells: int = 1  # bucket search radius: (2s+1)^2 neighborhood

@@ -148,3 +148,117 @@ def bilinear_patches_matmul(img: jnp.ndarray, centers: jnp.ndarray,
             precision=jax.lax.Precision.HIGHEST
         )
     return patches, inb
+
+
+def bilinear_patches_matmul_multi(imgs: jnp.ndarray, centers: jnp.ndarray,
+                                  halfwin: int, dtype=None):
+    """(C, K, S, S) bilinear patches of a channel stack — one matmul pair.
+
+    Same construction as :func:`bilinear_patches_matmul`, but the C channels
+    (e.g. template image + its two gradients, which KLT samples at identical
+    centers) share the selection weights, so the whole stack costs one
+    ``chw,wks->chks`` + one ``krh,chks->ckrs`` instead of C separate pairs —
+    the selection-weight construction and wcol HBM traffic amortize C-fold.
+    """
+    C, H, W = imgs.shape
+    K = centers.shape[0]
+    S = 2 * halfwin + 1
+    x = centers[:, 0]
+    y = centers[:, 1]
+    x0 = jnp.floor(x).astype(jnp.int32) - halfwin
+    y0 = jnp.floor(y).astype(jnp.int32) - halfwin
+    fx = x - jnp.floor(x)
+    fy = y - jnp.floor(y)
+    inb = (x0 >= 0) & (y0 >= 0) & (x0 + S < W) & (y0 + S < H)
+
+    src = jnp.arange(W, dtype=jnp.int32)[:, None, None]
+    tgt = x0[None, :, None] + jnp.arange(S, dtype=jnp.int32)[None, None, :]
+    wcol = (src == tgt) * (1.0 - fx)[None, :, None] + (src == tgt + 1) * fx[
+        None, :, None
+    ]  # (W, K, S)
+    rsrc = jnp.arange(H, dtype=jnp.int32)[None, None, :]
+    rtgt = y0[:, None, None] + jnp.arange(S, dtype=jnp.int32)[None, :, None]
+    wrow = (rsrc == rtgt) * (1.0 - fy)[:, None, None] + (rsrc == rtgt + 1) * fy[
+        :, None, None
+    ]  # (K, S, H)
+
+    if dtype is not None:
+        strips = jnp.einsum("chw,wks->chks", imgs.astype(dtype),
+                            wcol.astype(dtype),
+                            preferred_element_type=jnp.float32)
+        patches = jnp.einsum("krh,chks->ckrs", wrow.astype(dtype),
+                             strips.astype(dtype),
+                             preferred_element_type=jnp.float32)
+    else:
+        strips = jnp.einsum("chw,wks->chks", imgs, wcol,
+                            precision=jax.lax.Precision.HIGHEST)
+        patches = jnp.einsum("krh,chks->ckrs", wrow, strips,
+                             precision=jax.lax.Precision.HIGHEST)
+    return patches, inb
+
+
+def integer_windows(imgs: jnp.ndarray, topleft: jnp.ndarray, size: int,
+                    dtype=None):
+    """Integer-anchored (C, K, size, size) windows via selection matmuls.
+
+    ``imgs``: (C, H, W) channel stack (image + gradients share the same
+    selection weights); ``topleft``: (K, 2) int32 (x0, y0) window corners.
+    Out-of-image rows/cols select nothing (zero fill) — callers track
+    in-bounds flags themselves.  This is the once-per-level extraction of
+    the local-window KLT: after it, every GN iteration samples from these
+    windows instead of the full image, making per-iteration cost
+    independent of image size.
+    """
+    C, H, W = imgs.shape
+    src = jnp.arange(W, dtype=jnp.int32)[:, None, None]  # (W,1,1)
+    tgt = topleft[None, :, 0, None] + jnp.arange(size, dtype=jnp.int32)[None, None]
+    wcol = (src == tgt).astype(imgs.dtype)  # (W, K, size)
+    rsrc = jnp.arange(H, dtype=jnp.int32)[None, None, :]  # (1,1,H)
+    rtgt = (topleft[:, 1][:, None, None]
+            + jnp.arange(size, dtype=jnp.int32)[None, :, None])
+    wrow = (rsrc == rtgt).astype(imgs.dtype)  # (K, size, H)
+    if dtype is not None:
+        strips = jnp.einsum("chw,wks->chks", imgs.astype(dtype),
+                            wcol.astype(dtype),
+                            preferred_element_type=jnp.float32)
+        wins = jnp.einsum("krh,chks->ckrs", wrow.astype(dtype),
+                          strips.astype(dtype),
+                          preferred_element_type=jnp.float32)
+    else:
+        strips = jnp.einsum("chw,wks->chks", imgs, wcol,
+                            precision=jax.lax.Precision.HIGHEST)
+        wins = jnp.einsum("krh,chks->ckrs", wrow, strips,
+                          precision=jax.lax.Precision.HIGHEST)
+    return wins  # (C, K, size, size)
+
+
+def bilinear_patches_local(wins: jnp.ndarray, luv: jnp.ndarray,
+                           halfwin: int):
+    """Bilinear (K, S, S) patches from per-track local windows.
+
+    ``wins``: (K, Sw, Sw) windows; ``luv``: (K, 2) float patch centers in
+    window-local coordinates.  Per-track two small selection matmuls —
+    K x ((S, Sw) @ (Sw, Sw) @ (Sw, S)) — a few MFLOP total regardless of
+    image or pyramid level size.  Returns (patches, in_window flag).
+    """
+    K, Sw, _ = wins.shape
+    S = 2 * halfwin + 1
+    x = luv[:, 0]
+    y = luv[:, 1]
+    x0 = jnp.floor(x).astype(jnp.int32) - halfwin
+    y0 = jnp.floor(y).astype(jnp.int32) - halfwin
+    fx = x - jnp.floor(x)
+    fy = y - jnp.floor(y)
+    inw = (x0 >= 0) & (y0 >= 0) & (x0 + S < Sw) & (y0 + S < Sw)
+
+    src = jnp.arange(Sw, dtype=jnp.int32)[None, :, None]  # (1,Sw,1)
+    tgt = x0[:, None, None] + jnp.arange(S, dtype=jnp.int32)[None, None, :]
+    wcol = ((src == tgt) * (1.0 - fx)[:, None, None]
+            + (src == tgt + 1) * fx[:, None, None])  # (K, Sw, S)
+    rsrc = jnp.arange(Sw, dtype=jnp.int32)[None, None, :]  # (1,1,Sw)
+    rtgt = y0[:, None, None] + jnp.arange(S, dtype=jnp.int32)[None, :, None]
+    wrow = ((rsrc == rtgt) * (1.0 - fy)[:, None, None]
+            + (rsrc == rtgt + 1) * fy[:, None, None])  # (K, S, Sw)
+    rows = jnp.einsum("ksw,kwv->ksv", wrow, wins)  # (K, S, Sw)
+    patches = jnp.einsum("ksv,kvc->ksc", rows, wcol)  # (K, S, S)
+    return patches, inw
