@@ -39,26 +39,30 @@ BASELINE_FPS = 100.0
 
 
 def cache_path(mode):
+    # v2: host-pre-binned (R, W, 5) grids — the production loader layout
+    # (rangeimage.bin_scan_host during async prefetch).
     return os.environ.get("VELO_BENCH_CACHE",
-                          f"/tmp/velo_bench_frames_{mode}.npz")
+                          f"/tmp/velo_bench_frames_{mode}_v2.npz")
 
 
 def get_frames(cfg, with_images, cache):
     if os.path.exists(cache):
         d = np.load(cache)
         if (d["scans"].shape[0] == N_FRAMES
-                and d["scans"].shape[1] == cfg.n_max_points
+                and d["scans"].shape[1] == cfg.lidar.n_rings
                 and (not with_images or "images" in d)):
             return (d["scans"], d["masks"],
                     d["images"] if with_images else None,
                     d["P"], d["T_cam_velo"])
+    from velo_tpu.lidar import rangeimage as ri_mod
+
     fx = fixtures.make_fixture(
         n_frames=N_FRAMES, n_rings=RINGS, n_azimuth=AZ,
         height=IMG_H, width=IMG_W, with_images=with_images, speed=8.0,
     )
-    padded = [kitti.pad_scan(s, cfg.n_max_points) for s in fx.scans]
-    scans = np.stack([p[0] for p in padded])
-    masks = np.stack([p[1] for p in padded])
+    binned = [ri_mod.bin_scan_host(s, cfg.lidar) for s in fx.scans]
+    scans = np.stack([b[0] for b in binned])  # (F, R, W, 5)
+    masks = np.stack([b[1] for b in binned])  # (F, R, W)
     extra = {"images": fx.images} if with_images else {}
     np.savez_compressed(cache, scans=scans, masks=masks, P=fx.P,
                         T_cam_velo=fx.T_cam_velo, **extra)
@@ -74,6 +78,7 @@ def bench_mode(mode):
         vision=VisionConfig(height=IMG_H, width=IMG_W),
         use_vision=fused,
         use_map=True,
+        prebin_host=True,  # production loader layout (async host binning)
     )
     scans_np, masks_np, images_np, P, T_cam_velo = get_frames(
         cfg, fused, cache_path(mode))

@@ -141,6 +141,8 @@ def main():
                     help="fraction of returns randomly dropped")
     ap.add_argument("--sixdof", action="store_true",
                     help="non-planar trajectory (pitch/roll/z excitation)")
+    ap.add_argument("--prebin", action="store_true",
+                    help="host-pre-binned grid input (production layout)")
     args = ap.parse_args()
 
     import jax
@@ -156,6 +158,15 @@ def main():
             distorted=not args.nodistort, with_images=args.vision,
             noise_std=args.noise, dropout=args.dropout,
             sixdof=args.sixdof)
+        if args.prebin:
+            from velo_tpu.config import LidarConfig
+            from velo_tpu.lidar import rangeimage as ri_mod
+
+            lc = LidarConfig(n_rings=args.rings, n_azimuth=args.azimuth)
+            binned = [ri_mod.bin_scan_host(s[m], lc)
+                      for s, m in zip(scans, masks)]
+            scans = np.stack([b[0] for b in binned])
+            masks = np.stack([b[1] for b in binned])
         scans_d = jnp.asarray(scans)
         masks_d = jnp.asarray(masks)
         images_d = (jnp.asarray(images, jnp.float32)
@@ -163,6 +174,8 @@ def main():
 
         for name in args.variants.split(","):
             cfg = variant_cfg(name, args.rings, args.azimuth)
+            if args.prebin:
+                cfg = dataclasses.replace(cfg, prebin_host=True)
             if args.nodistort:
                 cfg = dataclasses.replace(cfg, use_deskew=False)
             if args.vision:

@@ -270,3 +270,83 @@ def test_az_start_phase_convention():
     np.testing.assert_allclose(s[1], 0.25, atol=0.01)
     np.testing.assert_allclose(s[2], 0.5, atol=0.01)
     np.testing.assert_allclose(s[3], 0.75, atol=0.01)
+
+
+def test_host_prebin_matches_device_path():
+    """Host pre-binned grid == device scatter-min range image at zero motion,
+    and the full step produces matching poses on a moving fixture."""
+    import jax
+    import jax.numpy as jnp
+
+    from velo_tpu.config import LidarConfig
+    from velo_tpu.io import fixtures, kitti
+    from velo_tpu.lidar import deskew as deskew_mod
+    from velo_tpu.lidar import rangeimage as ri_mod
+
+    cfg = LidarConfig(n_rings=16, n_azimuth=256)
+    fx = fixtures.make_fixture(n_frames=2, n_rings=16, n_azimuth=256,
+                               with_images=False, seed=9)
+    scan, mask = kitti.pad_scan(fx.scans[0], 16 * 256)
+
+    # Device path at zero motion.
+    pts3, phase = deskew_mod.deskew(jnp.asarray(scan[:, :3]),
+                                    jnp.zeros(6, jnp.float32))
+    ri_dev = ri_mod.build_range_image(pts3, jnp.asarray(mask), phase, cfg)
+    # Host path.
+    grid, valid = ri_mod.bin_scan_host(scan[mask], cfg)
+    ri_host = ri_mod.range_image_from_grid(
+        jnp.asarray(grid), jnp.asarray(valid), jnp.zeros(6, jnp.float32),
+        cfg)
+    np.testing.assert_array_equal(np.asarray(ri_dev.valid),
+                                  np.asarray(ri_host.valid))
+    v = np.asarray(ri_dev.valid)
+    np.testing.assert_allclose(np.asarray(ri_dev.xyz)[v],
+                               np.asarray(ri_host.xyz)[v], atol=1e-5)
+    np.testing.assert_allclose(np.asarray(ri_dev.rng)[v],
+                               np.asarray(ri_host.rng)[v], atol=1e-5)
+
+    # With motion, winners may differ only at ring-boundary cells.
+    xi = jnp.asarray([0.8, 0.05, 0.01, 0.004, 0.002, 0.02], jnp.float32)
+    pts3m, phasem = deskew_mod.deskew(jnp.asarray(scan[:, :3]), xi)
+    ri_dev_m = ri_mod.build_range_image(pts3m, jnp.asarray(mask), phasem,
+                                        cfg)
+    ri_host_m = ri_mod.range_image_from_grid(
+        jnp.asarray(grid), jnp.asarray(valid), xi, cfg)
+    same = (np.asarray(ri_dev_m.valid) == np.asarray(ri_host_m.valid))
+    assert same.mean() > 0.94, same.mean()
+    both = np.asarray(ri_dev_m.valid) & np.asarray(ri_host_m.valid)
+    d = np.linalg.norm(np.asarray(ri_dev_m.xyz)[both]
+                       - np.asarray(ri_host_m.xyz)[both], axis=-1)
+    # Cells whose winner matches must deskew to identical coordinates.
+    assert np.median(d) < 1e-5
+
+
+def test_prebin_pipeline_matches_raw_pipeline():
+    """End-to-end: prebin_host poses track the raw-scan poses closely."""
+    import dataclasses
+
+    from velo_tpu.config import (LidarConfig, MapConfig, SolverConfig,
+                                 VeloConfig)
+    from velo_tpu.io import fixtures, kitti
+    from velo_tpu.lidar import rangeimage as ri_mod
+    from velo_tpu.pipeline import odometry
+
+    cfg = VeloConfig(
+        lidar=LidarConfig(n_rings=16, n_azimuth=256, n_sectors=8),
+        solver=SolverConfig(hash_capacity=1024, icp_iters_odom=2,
+                            icp_iters_map=2, icp_iters_redeskew=1,
+                            lm_iters=2),
+        map=MapConfig(edge_capacity=1024, planar_capacity=2048),
+        n_max_points=4096, use_vision=False, use_map=True,
+    )
+    fx = fixtures.make_fixture(n_frames=6, n_rings=16, n_azimuth=256,
+                               with_images=False, seed=11)
+    raw_frames = [kitti.pad_scan(s, 4096) for s in fx.scans]
+    raw_poses, _ = odometry.run_sequence_host(raw_frames, cfg)
+
+    pcfg = dataclasses.replace(cfg, prebin_host=True)
+    grid_frames = [ri_mod.bin_scan_host(s, cfg.lidar) for s in fx.scans]
+    pre_poses, _ = odometry.run_sequence_host(grid_frames, pcfg)
+    # Identical except for ring-boundary winner flips under motion.
+    np.testing.assert_allclose(pre_poses[:, :3, 3], raw_poses[:, :3, 3],
+                               atol=0.03)

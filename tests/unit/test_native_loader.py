@@ -49,3 +49,28 @@ def test_missing_dir():
         pytest.skip("no g++ available")
     with pytest.raises(FileNotFoundError):
         native.NativeScanLoader("/nonexistent/path", n_max=128)
+
+
+def test_binned_loader_matches_numpy_binning(tmp_path):
+    """C++ in-worker binning == rangeimage.bin_scan_host, bit for bit."""
+    if native.load_library() is None:
+        pytest.skip("no g++ available")
+    from velo_tpu.config import LidarConfig
+    from velo_tpu.io import fixtures
+    from velo_tpu.lidar import rangeimage as ri_mod
+
+    fx = fixtures.make_fixture(n_frames=3, n_rings=16, n_azimuth=256,
+                               with_images=False, seed=21)
+    d = tmp_path / "velodyne"
+    d.mkdir()
+    for i, s in enumerate(fx.scans):
+        s.astype(np.float32).tofile(d / f"{i:06d}.bin")
+
+    for mode in ("uniform", "hdl64e"):
+        cfg = LidarConfig(n_rings=16, n_azimuth=256, ring_mode=mode)
+        loader = native.NativeBinnedScanLoader(str(d), cfg, n_max=16 * 256)
+        for i, (grid, valid) in enumerate(loader):
+            ref_grid, ref_valid = ri_mod.bin_scan_host(fx.scans[i], cfg)
+            np.testing.assert_array_equal(valid, ref_valid), mode
+            np.testing.assert_allclose(grid, ref_grid, atol=1e-6)
+        loader.close()

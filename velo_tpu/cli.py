@@ -34,6 +34,9 @@ def build_parser():
     p.add_argument("--no-map", action="store_true",
                    help="disable scan-to-map refinement (config 1)")
     p.add_argument("--no-deskew", action="store_true")
+    p.add_argument("--no-prebin", action="store_true",
+                   help="feed raw (N,4) scans and bin on device instead of "
+                        "the host-pre-binned production layout")
     p.add_argument("--rings", type=int, default=None,
                    help="override ring count (synthetic default 32)")
     p.add_argument("--azimuth", type=int, default=None)
@@ -154,6 +157,8 @@ def main(argv=None):
     use_vision = not args.no_vision
 
     if args.synthetic:
+        from velo_tpu.lidar import rangeimage as ri_mod
+
         rings = args.rings or 32
         az = args.azimuth or 1024
         h, w = 128, 384
@@ -165,6 +170,7 @@ def main(argv=None):
             use_vision=use_vision,
             use_map=not args.no_map,
             use_deskew=not args.no_deskew,
+            prebin_host=not args.no_prebin,
         )
         print(f"simulating {args.frames} frames…", file=sys.stderr)
         fx = fixtures.make_fixture(
@@ -176,9 +182,14 @@ def main(argv=None):
             T_cam_velo=jnp.asarray(fx.T_cam_velo, jnp.float32),
             width=w, height=h,
         ) if use_vision else None
+
+        def _lidar_frame(s):
+            if cfg.prebin_host:
+                return ri_mod.bin_scan_host(s, cfg.lidar)
+            return kitti.pad_scan(s, cfg.n_max_points)
+
         frames = [
-            kitti.pad_scan(s, cfg.n_max_points)
-            + ((fx.images[i],) if use_vision else ())
+            _lidar_frame(s) + ((fx.images[i],) if use_vision else ())
             for i, s in enumerate(fx.scans)
         ]
         gt_cam = fx.gt_poses_cam
@@ -187,6 +198,8 @@ def main(argv=None):
     else:
         import numpy as _np
 
+        from velo_tpu.lidar import rangeimage as ri_mod
+
         cfg = VeloConfig(
             # Real HDL-64E conventions: non-uniform beam table for ring
             # assignment, sweep start at the rear (~pi azimuth).
@@ -194,6 +207,7 @@ def main(argv=None):
             use_vision=use_vision,
             use_map=not args.no_map,
             use_deskew=not args.no_deskew,
+            prebin_host=not args.no_prebin,
         )
         seq = kitti.KittiSequence(args.kitti_root, args.seq,
                                   cfg.n_max_points)
@@ -209,24 +223,39 @@ def main(argv=None):
         def gen():
             # Prefer the native async prefetch loader (C1); fall back to the
             # synchronous Python reader when no compiler is available.
+            def _emit(scan, mask, i):
+                if cfg.prebin_host:
+                    scan, mask = ri_mod.bin_scan_host(scan[mask], cfg.lidar)
+                if use_vision:
+                    return scan, mask, seq.image(i)
+                return scan, mask
+
             try:
+                if cfg.prebin_host:
+                    # Binning rides the loader's worker threads (C++ mirror
+                    # of bin_scan_host) — frames arrive device-ready.
+                    from velo_tpu.io.native_loader import (
+                        NativeBinnedScanLoader)
+
+                    loader = NativeBinnedScanLoader(
+                        seq.velo_dir, cfg.lidar, n_max=cfg.n_max_points)
+                    for i, (grid, valid) in enumerate(loader):
+                        if i >= n:
+                            break
+                        yield ((grid, valid, seq.image(i)) if use_vision
+                               else (grid, valid))
+                    return
                 from velo_tpu.io.native_loader import NativeScanLoader
 
                 loader = NativeScanLoader(seq.velo_dir, cfg.n_max_points)
                 for i, (scan, mask) in enumerate(loader):
                     if i >= n:
                         break
-                    if use_vision:
-                        yield scan, mask, seq.image(i)
-                    else:
-                        yield scan, mask
+                    yield _emit(scan, mask, i)
             except (RuntimeError, FileNotFoundError):
                 for i in range(n):
                     scan, mask = seq.scan(i)
-                    if use_vision:
-                        yield scan, mask, seq.image(i)
-                    else:
-                        yield scan, mask
+                    yield _emit(scan, mask, i)
 
         frames = gen()
         gt_cam = seq.gt_poses[:n] if seq.gt_poses is not None else None

@@ -174,6 +174,11 @@ class VeloConfig:
     use_vision: bool = True  # config 4 (fused) vs configs 1-2 (LiDAR-only)
     use_map: bool = True  # scan-to-map refinement on/off
     use_deskew: bool = True
+    prebin_host: bool = False  # feed host-pre-binned (R, W, 5) grids
+    # instead of raw (N, 4) scans: the loader bins during async prefetch
+    # (rangeimage.bin_scan_host / the native veloio loader), removing the
+    # device scatter-min + winner gather (~1.6 ms/frame, the two largest
+    # LiDAR ops in the device trace)
 
 
 def lidar_only(**kw) -> VeloConfig:

@@ -53,6 +53,19 @@ def load_library() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_uint8),
     ]
     lib.velo_loader_close.argtypes = [ctypes.c_void_p]
+    lib.velo_loader_open_binned.restype = ctypes.c_void_p
+    lib.velo_loader_open_binned.argtypes = [
+        ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_float,
+        ctypes.c_float, ctypes.c_float, ctypes.c_float, ctypes.c_float,
+        ctypes.POINTER(ctypes.c_float),
+    ]
+    lib.velo_loader_next_binned.restype = ctypes.c_int
+    lib.velo_loader_next_binned.argtypes = [
+        ctypes.c_void_p,
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_uint8),
+    ]
     _lib = lib
     return lib
 
@@ -91,6 +104,69 @@ class NativeScanLoader:
             if n < 0:
                 raise IOError("native loader: scan read failed")
             yield pts, mask.astype(bool)
+
+    def close(self):
+        if self._h:
+            self._lib.velo_loader_close(self._h)
+            self._h = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
+
+
+class NativeBinnedScanLoader:
+    """Async prefetch + in-worker pre-binning into (R, W, 5) grids.
+
+    The C++ workers replicate ``rangeimage.bin_scan_host`` (bitwise-matching
+    winner rule, unit-tested), so the device receives the range-image layout
+    directly and never pays the scatter-min / winner-gather.
+    """
+
+    def __init__(self, velo_dir: str, lidar_cfg, n_max: int = 262144,
+                 queue_depth: int = 4, n_threads: int = 4):
+        from velo_tpu.lidar import rangeimage as ri_mod
+
+        lib = load_library()
+        if lib is None:
+            raise RuntimeError("native loader unavailable (no g++?)")
+        self._lib = lib
+        R, W = lidar_cfg.n_rings, lidar_cfg.n_azimuth
+        hdl = 1 if lidar_cfg.ring_mode == "hdl64e" else 0
+        beams = np.ascontiguousarray(
+            ri_mod.hdl64e_beam_elevations(R), dtype=np.float32)
+        self._h = lib.velo_loader_open_binned(
+            velo_dir.encode(), n_max, queue_depth, n_threads, R, W, hdl,
+            float(lidar_cfg.az_start), float(lidar_cfg.min_range),
+            float(lidar_cfg.max_range), float(lidar_cfg.elev_max_deg),
+            float(lidar_cfg.elev_min_deg),
+            beams.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        )
+        if not self._h:
+            raise FileNotFoundError(f"no .bin scans under {velo_dir}")
+        self.shape = (R, W)
+        self.n_frames = lib.velo_loader_count(self._h)
+
+    def __len__(self) -> int:
+        return self.n_frames
+
+    def __iter__(self) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+        R, W = self.shape
+        for _ in range(self.n_frames):
+            grid = np.empty((R, W, 5), np.float32)
+            valid = np.empty((R, W), np.uint8)
+            n = self._lib.velo_loader_next_binned(
+                self._h,
+                grid.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                valid.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            )
+            if n == -2:
+                return
+            if n < 0:
+                raise IOError("native loader: scan read failed")
+            yield grid, valid.astype(bool)
 
     def close(self):
         if self._h:

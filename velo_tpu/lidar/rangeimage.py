@@ -119,3 +119,82 @@ def build_range_image(
                       rng=win[:, 3].reshape(R, W),
                       phase=win[:, 4].reshape(R, W),
                       valid=cell_valid.reshape(R, W))
+
+
+def bin_scan_host(scan: np.ndarray, cfg: LidarConfig):
+    """Host-side (numpy) pre-binning of a raw scan into the (R, W) grid.
+
+    The device scatter-min + winner gather sit at the random-RMW hardware
+    floor (~1.6 ms/frame combined in the device trace, the #1 and #2 ops of
+    the LiDAR pipeline); binning is cheap, embarrassingly parallel host work
+    that the async prefetch loader hides entirely behind the previous
+    frame's solve.  Binning uses RAW elevation/range — physically closer to
+    the true laser-id semantics than the deskewed elevation the device path
+    uses (deskew happens on the grid afterwards, see
+    :func:`range_image_from_grid`); at zero motion the two paths agree
+    exactly (unit-tested).
+
+    Returns (grid (R, W, 5) float32 [x, y, z, range, phase] of raw winner
+    points, valid (R, W) bool).
+    """
+    R, W = cfg.n_rings, cfg.n_azimuth
+    pts = np.asarray(scan[:, :3], np.float32)
+    n = len(pts)
+    rng = np.linalg.norm(pts, axis=-1)
+    ok = (rng >= cfg.min_range) & (rng <= cfg.max_range)
+    safe = np.where(ok, rng, 1.0)
+    elev = np.arcsin(np.clip(pts[:, 2] / safe, -1.0, 1.0))
+    if cfg.ring_mode == "hdl64e":
+        beams = hdl64e_beam_elevations(R)
+        d = np.abs(elev[:, None] - beams[None, :])
+        ring = d.argmin(axis=1).astype(np.int64)
+        ok = ok & (d.min(axis=1) < np.deg2rad(0.6))
+    else:
+        e_max = np.deg2rad(cfg.elev_max_deg)
+        e_min = np.deg2rad(cfg.elev_min_deg)
+        ring_f = (e_max - elev) / (e_max - e_min) * (R - 1)
+        ring = np.clip(np.round(ring_f), 0, R - 1).astype(np.int64)
+        ok = ok & (ring_f > -1.0) & (ring_f < R)
+    az = np.arctan2(pts[:, 1], pts[:, 0])
+    phase = np.mod(cfg.az_start - az, 2.0 * np.pi) / (2.0 * np.pi)
+    col = np.clip((phase * W).astype(np.int64), 0, W - 1)
+
+    # Same deterministic nearest-return winner rule as the device path.
+    rq = np.clip(np.round(rng * _RANGE_Q), 0, _RANGE_MAX_Q).astype(np.int64)
+    key = (rq << _IDX_BITS) | np.arange(n, dtype=np.int64)
+    sentinel = np.int64(1) << 62
+    table = np.full(R * W, sentinel, np.int64)
+    flat = ring * W + col
+    np.minimum.at(table, flat[ok], key[ok])
+    valid = table != sentinel
+    win_idx = np.where(valid, table & ((1 << _IDX_BITS) - 1), 0)
+    vals = np.concatenate(
+        [pts, rng[:, None].astype(np.float32),
+         phase[:, None].astype(np.float32)], axis=-1)
+    grid = np.where(valid[:, None], vals[win_idx], 0.0).astype(np.float32)
+    return grid.reshape(R, W, 5), valid.reshape(R, W)
+
+
+def range_image_from_grid(grid: jnp.ndarray, valid: jnp.ndarray,
+                          delta_xi: jnp.ndarray, cfg: LidarConfig,
+                          enabled: bool = True) -> RangeImage:
+    """Deskew a host-pre-binned (R, W, 5) grid into a :class:`RangeImage`.
+
+    The grid cells hold raw sensor-frame winner points + their sweep phase
+    (:func:`bin_scan_host`); deskewing them is one dense shared-axis
+    Rodrigues pass — no scatter, no gather.
+    """
+    from velo_tpu.lidar import deskew as deskew_mod
+
+    R, W = cfg.n_rings, cfg.n_azimuth
+    pts = grid[..., :3].reshape(-1, 3)
+    phase = grid[..., 4].reshape(-1)
+    if enabled:
+        pts = deskew_mod.apply_scaled_exp(pts, phase, delta_xi)
+    rng = jnp.linalg.norm(pts, axis=-1)
+    vflat = valid.reshape(-1)
+    pts = jnp.where(vflat[:, None], pts, 0.0)
+    rng = jnp.where(vflat, rng, 0.0)
+    return RangeImage(xyz=pts.reshape(R, W, 3), rng=rng.reshape(R, W),
+                      phase=jnp.where(vflat, phase, 0.0).reshape(R, W),
+                      valid=valid)

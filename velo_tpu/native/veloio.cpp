@@ -8,10 +8,17 @@
 // validity mask — so Python's per-frame work is a single queue pop into
 // preallocated buffers that feed jax.device_put directly.
 //
+// The loader can additionally pre-bin each scan into the (n_rings,
+// n_azimuth, 5) range-image grid (mirroring rangeimage.bin_scan_host) so the
+// device never pays the scatter-min + winner-gather (~1.6 ms/frame in the
+// device trace) — binning rides the same worker threads, hidden behind the
+// previous frame's solve.
+//
 // C ABI only (consumed via ctypes; no pybind11 in this environment).
 
 #include <algorithm>
 #include <atomic>
+#include <cmath>
 #include <condition_variable>
 #include <cstdint>
 #include <cstdio>
@@ -28,18 +35,90 @@
 namespace {
 
 constexpr float kPadSentinel = 1e6f;
+constexpr int kIdxBits = 17;       // must match rangeimage._IDX_BITS
+constexpr float kRangeQ = 100.0f;  // 1 cm winner-key quantization
+constexpr int kRangeMaxQ = (1 << 14) - 1;
+
+struct BinParams {
+  int n_rings = 0;
+  int n_az = 0;
+  int hdl64e = 0;  // 1: nearest-beam table; 0: uniform elevation fan
+  float az_start = 0.0f;
+  float min_range = 0.0f;
+  float max_range = 0.0f;
+  float elev_max_rad = 0.0f;  // uniform mode
+  float elev_min_rad = 0.0f;
+  std::vector<float> beams;  // hdl64e mode, n_rings entries (rad)
+};
 
 struct Frame {
   int index = -1;
   int n_valid = 0;
-  std::vector<float> points;   // n_max * 4
-  std::vector<uint8_t> mask;   // n_max
+  std::vector<float> points;   // n_max * 4 (raw mode) or R*W*5 (binned)
+  std::vector<uint8_t> mask;   // n_max (raw) or R*W (binned)
 };
+
+// Mirror of rangeimage.bin_scan_host: nearest-return winner per (ring, col)
+// cell with the deterministic (quantized range, index) packed-min rule.
+void bin_scan(const float* pts, long n, const BinParams& bp, Frame* out) {
+  const int R = bp.n_rings, W = bp.n_az;
+  const long cells = static_cast<long>(R) * W;
+  out->points.assign(cells * 5, 0.0f);
+  out->mask.assign(cells, 0);
+  std::vector<int64_t> table(cells, int64_t(1) << 62);
+  const float two_pi = 6.2831853071795864769f;
+  for (long i = 0; i < n; ++i) {
+    const float x = pts[i * 4], y = pts[i * 4 + 1], z = pts[i * 4 + 2];
+    const float rng = std::sqrt(x * x + y * y + z * z);
+    if (rng < bp.min_range || rng > bp.max_range) continue;
+    const float elev = std::asin(std::max(-1.0f, std::min(1.0f, z / rng)));
+    int ring;
+    if (bp.hdl64e) {
+      // Beam table is descending; nearest beam, reject between-beam noise.
+      int best = 0;
+      float bd = 1e9f;
+      for (int r = 0; r < R; ++r) {  // R<=64; branchless enough for IO-bound
+        float d = std::fabs(elev - bp.beams[r]);
+        if (d < bd) { bd = d; best = r; }
+      }
+      if (bd >= 0.6f * 3.14159265f / 180.0f) continue;
+      ring = best;
+    } else {
+      const float ring_f =
+          (bp.elev_max_rad - elev) / (bp.elev_max_rad - bp.elev_min_rad) *
+          (R - 1);
+      if (ring_f <= -1.0f || ring_f >= static_cast<float>(R)) continue;
+      ring = static_cast<int>(std::lround(ring_f));
+      ring = std::max(0, std::min(R - 1, ring));
+    }
+    const float az = std::atan2(y, x);
+    float ph = std::fmod(bp.az_start - az, two_pi);
+    if (ph < 0) ph += two_pi;
+    ph /= two_pi;
+    int col = static_cast<int>(ph * W);
+    col = std::max(0, std::min(W - 1, col));
+    int rq = static_cast<int>(std::lround(rng * kRangeQ));
+    rq = std::max(0, std::min(kRangeMaxQ, rq));
+    const int64_t key = (static_cast<int64_t>(rq) << kIdxBits) | i;
+    const long cell = static_cast<long>(ring) * W + col;
+    if (key < table[cell]) {
+      table[cell] = key;
+      float* g = &out->points[cell * 5];
+      g[0] = x; g[1] = y; g[2] = z; g[3] = rng; g[4] = ph;
+      out->mask[cell] = 1;
+    }
+  }
+  int nv = 0;
+  for (long c = 0; c < cells; ++c) nv += out->mask[c];
+  out->n_valid = nv;
+}
 
 struct Loader {
   std::vector<std::string> files;
   int n_max = 0;
   int queue_depth = 4;
+  bool binned = false;
+  BinParams bp;
 
   std::mutex mu;
   std::condition_variable cv_ready;
@@ -93,7 +172,19 @@ void worker_loop(Loader* L) {
     }
     Frame fr;
     fr.index = idx;
-    if (!read_scan(L->files[idx], L->n_max, &fr)) fr.n_valid = -1;
+    if (L->binned) {
+      Frame raw;
+      if (!read_scan(L->files[idx], L->n_max, &raw)) {
+        fr.n_valid = -1;
+        fr.points.assign(
+            static_cast<size_t>(L->bp.n_rings) * L->bp.n_az * 5, 0.0f);
+        fr.mask.assign(static_cast<size_t>(L->bp.n_rings) * L->bp.n_az, 0);
+      } else {
+        bin_scan(raw.points.data(), raw.n_valid, L->bp, &fr);
+      }
+    } else if (!read_scan(L->files[idx], L->n_max, &fr)) {
+      fr.n_valid = -1;
+    }
     {
       std::unique_lock<std::mutex> lk(L->mu);
       // Insert ordered by index so the consumer pops strictly in order.
@@ -131,9 +222,13 @@ void* velo_loader_open(const char* velo_dir, int n_max, int queue_depth,
     delete L;
     return nullptr;
   }
-  int nt = n_threads > 0 ? n_threads : 2;
-  for (int i = 0; i < nt; ++i)
-    L->workers.emplace_back(worker_loop, L);
+  // n_threads == -1: defer worker startup (velo_loader_open_binned sets the
+  // binning params first, then starts its own workers).
+  if (n_threads >= 0) {
+    int nt = n_threads > 0 ? n_threads : 2;
+    for (int i = 0; i < nt; ++i)
+      L->workers.emplace_back(worker_loop, L);
+  }
   return L;
 }
 
@@ -166,5 +261,41 @@ int velo_loader_next(void* h, float* out_points, uint8_t* out_mask) {
 }
 
 void velo_loader_close(void* h) { delete static_cast<Loader*>(h); }
+
+// Binned variant: workers read AND pre-bin each scan into the
+// (n_rings, n_azimuth, 5) grid (x, y, z, range, phase) + validity mask.
+// `beams` (n_rings floats, rad, descending) is used when hdl64e != 0;
+// otherwise the uniform elevation fan [elev_min_deg, elev_max_deg] applies.
+void* velo_loader_open_binned(const char* velo_dir, int n_max,
+                              int queue_depth, int n_threads, int n_rings,
+                              int n_azimuth, int hdl64e, float az_start,
+                              float min_range, float max_range,
+                              float elev_max_deg, float elev_min_deg,
+                              const float* beams) {
+  auto* L = static_cast<Loader*>(
+      velo_loader_open(velo_dir, n_max, queue_depth, -1));
+  if (!L) return nullptr;
+  L->binned = true;
+  L->bp.n_rings = n_rings;
+  L->bp.n_az = n_azimuth;
+  L->bp.hdl64e = hdl64e;
+  L->bp.az_start = az_start;
+  L->bp.min_range = min_range;
+  L->bp.max_range = max_range;
+  L->bp.elev_max_rad = elev_max_deg * 3.14159265358979f / 180.0f;
+  L->bp.elev_min_rad = elev_min_deg * 3.14159265358979f / 180.0f;
+  if (hdl64e && beams) L->bp.beams.assign(beams, beams + n_rings);
+  // Binning is ~N*R compare-heavy in hdl64e mode; give it more workers.
+  int nt = n_threads > 0 ? n_threads : 4;
+  for (int i = 0; i < nt; ++i) L->workers.emplace_back(worker_loop, L);
+  return L;
+}
+
+// Blocking: fills out_grid (n_rings*n_azimuth*5 floats) and out_valid
+// (n_rings*n_azimuth bytes). Returns valid-cell count, -1 on read error,
+// -2 when exhausted.
+int velo_loader_next_binned(void* h, float* out_grid, uint8_t* out_valid) {
+  return velo_loader_next(h, out_grid, out_valid);
+}
 
 }  // extern "C"

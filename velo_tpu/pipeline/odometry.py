@@ -94,30 +94,35 @@ def init_carry(cfg: VeloConfig) -> OdomCarry:
     )
 
 
-def _extract_features(pts3, mask, phase, cfg: VeloConfig):
-    """Returns (query_features, target_features, range_image) of one scan."""
-    ri = ri_mod.build_range_image(pts3, mask, phase, cfg.lidar)
+def _extract_features_from_ri(ri, cfg: VeloConfig):
+    """Returns (query_features, target_features) of one range image."""
     cr = curv_mod.compute_curvature(ri, cfg.lidar)
     q = feat_mod.select_features(ri, cr, cfg.lidar)
     t = feat_mod.select_features(ri, cr, cfg.lidar, target=True)
-    return q, t, ri
+    return q, t
 
 
 def step(carry: OdomCarry, scan: jnp.ndarray, scan_mask: jnp.ndarray,
          cfg: VeloConfig, image: jnp.ndarray | None = None,
          cam: cam_mod.Camera | None = None):
-    """Process one frame. scan: (N_MAX, 4) padded raw points + mask;
-    image: (H, W) float32 grayscale when cfg.use_vision."""
+    """Process one frame. scan: (N_MAX, 4) padded raw points + mask — or,
+    with ``cfg.prebin_host``, a host-pre-binned (R, W, 5) grid + (R, W)
+    validity (see ``rangeimage.bin_scan_host``); image: (H, W) float32
+    grayscale when cfg.use_vision."""
     sc = cfg.solver
 
-    # 1) Predict + deskew with the constant-velocity motion model.
-    pts3, phase = deskew_mod.deskew(
-        scan[:, :3], carry.delta, az_start=cfg.lidar.az_start,
-        enabled=cfg.use_deskew,
-    )
-
-    # 2) LiDAR front-end: sparse query set + dense match-target set.
-    feats, tfeats, ri = _extract_features(pts3, scan_mask, phase, cfg)
+    # 1-2) Predict + deskew (constant-velocity), then the LiDAR front-end:
+    # sparse query set + dense match-target set from the range image.
+    if cfg.prebin_host:
+        ri = ri_mod.range_image_from_grid(scan, scan_mask, carry.delta,
+                                          cfg.lidar, enabled=cfg.use_deskew)
+    else:
+        pts3, phase = deskew_mod.deskew(
+            scan[:, :3], carry.delta, az_start=cfg.lidar.az_start,
+            enabled=cfg.use_deskew,
+        )
+        ri = ri_mod.build_range_image(pts3, scan_mask, phase, cfg.lidar)
+    feats, tfeats = _extract_features_from_ri(ri, cfg)
 
     # 2v) Visual front-end: pyramid + KLT track + reprojection data.
     vis_data = None
