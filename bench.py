@@ -91,6 +91,18 @@ def bench_mode(mode):
         width=IMG_W, height=IMG_H,
     ) if fused else None
 
+    # Tile the frame block: the axon tunnel adds a large fixed cost per
+    # execute (50-300 ms with random spikes), so the dispatch must be long
+    # enough to amortize it — KITTI seq 00 is 4541 frames, so a 240-frame
+    # device-resident dispatch is still conservative for the production
+    # serving shape.
+    reps = max(1, 240 // N_FRAMES)
+    scans = jnp.concatenate([scans] * reps)
+    masks = jnp.concatenate([masks] * reps)
+    if fused:
+        images = jnp.concatenate([images] * reps)
+    n_total = N_FRAMES * reps
+
     if fused:
         run = jax.jit(
             lambda c, s, m, im: odometry.run_scan(c, s, m, cfg, images=im,
@@ -115,7 +127,7 @@ def bench_mode(mode):
         carry, out = run(*args())
         jax.block_until_ready(out.T_w)
         best = min(best, time.perf_counter() - t0)
-    return N_FRAMES / best
+    return n_total / best
 
 
 def main():

@@ -44,6 +44,7 @@ def main():
         vision=VisionConfig(height=bench_mod.IMG_H, width=bench_mod.IMG_W),
         use_vision=args.vision,
         use_map=True,
+        prebin_host=True,  # same production layout bench.py measures
     )
     mode = "fused" if args.vision else "lidar"
     scans_np, masks_np, images_np, P, T_cam_velo = bench_mod.get_frames(

@@ -72,16 +72,33 @@ def _extract_topk(s: jnp.ndarray, k: int):
 
 def _sector_topk(score: jnp.ndarray, ok: jnp.ndarray, xyz: jnp.ndarray,
                  phase: jnp.ndarray, n_sectors: int, k: int):
-    """Masked top-k per (ring, sector) -> gathered points + masks, flattened."""
+    """Masked top-k per (ring, sector) -> picked points + masks, flattened.
+
+    The pick itself is a one-hot within-sector contraction, not a gather:
+    arbitrary-index gathers serialize on the TPU scalar unit (the four
+    select_features gathers were part of the ~0.6 ms/frame main-program
+    gather aggregate in the device trace), while the (R, S, k, ws) one-hot
+    einsum is a few-MFLOP MXU pass.  HIGHEST precision keeps the selected
+    f32 coordinates exact (one-hot weights are 0/1 in any dtype; the
+    VALUES must not be truncated to bf16 — 0.4% of 50 m is 20 cm).
+    """
+    import jax
+
     R, W = score.shape
     ws = W // n_sectors
     s = jnp.where(ok, score, _NEG).reshape(R, n_sectors, ws)
     vals, idx = _extract_topk(s, k)  # (R, S, k) indices within sector
     picked_ok = vals > _NEG / 2
-    col = idx + (jnp.arange(n_sectors, dtype=jnp.int32) * ws)[None, :, None]
-    row = jnp.broadcast_to(jnp.arange(R, dtype=jnp.int32)[:, None, None], col.shape)
-    pts = xyz[row.reshape(-1), col.reshape(-1)]
-    ph = phase[row.reshape(-1), col.reshape(-1)]
+    onehot = (idx[..., None]
+              == jnp.arange(ws, dtype=jnp.int32)).astype(jnp.float32)
+    chan = jnp.concatenate([xyz, phase[..., None]], axis=-1)  # (R, W, 4)
+    chan = chan.reshape(R, n_sectors, ws, 4)
+    picked = jnp.einsum("rskw,rswc->rskc", onehot, chan,
+                        precision=jax.lax.Precision.HIGHEST)
+    pts = picked[..., :3].reshape(-1, 3)
+    ph = picked[..., 3].reshape(-1)
+    row = jnp.broadcast_to(
+        jnp.arange(R, dtype=jnp.int32)[:, None, None], idx.shape)
     return pts, picked_ok.reshape(-1), ph, row.reshape(-1)
 
 
