@@ -143,6 +143,10 @@ def main():
                     help="non-planar trajectory (pitch/roll/z excitation)")
     ap.add_argument("--prebin", action="store_true",
                     help="host-pre-binned grid input (production layout)")
+    ap.add_argument("--smooth", action="store_true",
+                    help="also report the non-causal smoother's refinement")
+    ap.add_argument("--smooth-window", type=int, default=8)
+    ap.add_argument("--smooth-passes", type=int, default=2)
     args = ap.parse_args()
 
     import jax
@@ -203,35 +207,52 @@ def main():
             jax.block_until_ready(out.T_w)
             dt = time.perf_counter() - t0
             poses_velo = np.asarray(out.T_w)
-            poses_cam = odometry.velo_to_cam_trajectory(poses_velo,
-                                                        T_cam_velo)
-            errs = kitti_metric.evaluate_trajectory(poses_cam, gt_cam)
-            ate = kitti_metric.ate_rmse(poses_cam, gt_cam)
-            F = len(poses_velo)
-            rel_gt = np.asarray([np.linalg.inv(gt_velo[i - 1]) @ gt_velo[i]
-                                 for i in range(1, F)])
-            rel_est = np.asarray(
-                [np.linalg.inv(poses_velo[i - 1]) @ poses_velo[i]
-                 for i in range(1, F)])
-            rel_err = np.asarray([np.linalg.inv(a) @ b
-                                  for a, b in zip(rel_gt, rel_est)])
-            rel = np.linalg.norm(rel_err[:, :3, 3], axis=1)
-            # per-frame rotation error angle (deg)
-            tr = np.clip((np.trace(rel_err[:, :3, :3], axis1=1, axis2=2)
-                          - 1) / 2, -1, 1)
-            rot = np.degrees(np.arccos(tr))
-            row = dict(variant=name, seed=seed,
-                       t_err_pct=round(float(errs.t_err_pct), 3),
-                       r_err_deg=round(float(errs.r_err_deg_per_100m), 3),
-                       ate_m=round(float(ate), 3),
-                       med_rel_err_m=round(float(np.median(rel)), 4),
-                       max_rel_err_m=round(float(rel.max()), 3),
-                       med_rot_err_deg=round(float(np.median(rot)), 4),
-                       worst_frame=int(np.argmax(rel)) + 1,
-                       degenerate=int(np.asarray(out.degenerate)[1:].sum()),
-                       secs=round(dt, 1))
+
+            def metrics_row(variant, poses_velo, secs):
+                poses_cam = odometry.velo_to_cam_trajectory(poses_velo,
+                                                            T_cam_velo)
+                errs = kitti_metric.evaluate_trajectory(poses_cam, gt_cam)
+                ate = kitti_metric.ate_rmse(poses_cam, gt_cam)
+                F = len(poses_velo)
+                rel_gt = np.asarray(
+                    [np.linalg.inv(gt_velo[i - 1]) @ gt_velo[i]
+                     for i in range(1, F)])
+                rel_est = np.asarray(
+                    [np.linalg.inv(poses_velo[i - 1]) @ poses_velo[i]
+                     for i in range(1, F)])
+                rel_err = np.asarray([np.linalg.inv(a) @ b
+                                      for a, b in zip(rel_gt, rel_est)])
+                rel = np.linalg.norm(rel_err[:, :3, 3], axis=1)
+                # per-frame rotation error angle (deg)
+                tr = np.clip((np.trace(rel_err[:, :3, :3], axis1=1, axis2=2)
+                              - 1) / 2, -1, 1)
+                rot = np.degrees(np.arccos(tr))
+                return dict(
+                    variant=variant, seed=seed,
+                    t_err_pct=round(float(errs.t_err_pct), 3),
+                    r_err_deg=round(float(errs.r_err_deg_per_100m), 3),
+                    ate_m=round(float(ate), 3),
+                    med_rel_err_m=round(float(np.median(rel)), 4),
+                    max_rel_err_m=round(float(rel.max()), 3),
+                    med_rot_err_deg=round(float(np.median(rot)), 4),
+                    worst_frame=int(np.argmax(rel)) + 1,
+                    degenerate=int(np.asarray(out.degenerate)[1:].sum()),
+                    secs=round(secs, 1)), rel, rot
+
+            row, rel, rot = metrics_row(name, poses_velo, dt)
             rows.append(row)
             print(json.dumps(row))
+            if args.smooth:
+                from velo_tpu.pipeline import smoother
+
+                t0 = time.perf_counter()
+                refined = np.asarray(smoother.smooth_trajectory(
+                    scans_d, masks_d, poses_velo, cfg,
+                    window=args.smooth_window, passes=args.smooth_passes))
+                srow, _, _ = metrics_row(name + "+smooth", refined,
+                                         time.perf_counter() - t0)
+                rows.append(srow)
+                print(json.dumps(srow))
             if args.dump:
                 np.savez_compressed(
                     f"{args.dump}_{name.replace(':','_')}_s{seed}.npz",

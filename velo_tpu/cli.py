@@ -50,6 +50,13 @@ def build_parser():
                    help="resume from --checkpoint, skipping done frames")
     p.add_argument("--plot", action="store_true",
                    help="write trajectory + drift plots next to the poses")
+    p.add_argument("--smooth", action="store_true",
+                   help="non-causal pass: refine the trajectory against "
+                        "windowed multi-frame maps (offline/batch eval; "
+                        "holds all scans in device memory)")
+    p.add_argument("--smooth-window", type=int, default=8,
+                   help="smoother half-window in frames")
+    p.add_argument("--smooth-passes", type=int, default=2)
     p.add_argument("--batch", type=int, default=0,
                    help="config 5: run N synthetic sequences as one batched "
                         "program (vmap over the jitted scan)")
@@ -261,12 +268,36 @@ def main(argv=None):
         gt_cam = seq.gt_poses[:n] if seq.gt_poses is not None else None
         seq_name = args.seq
 
+    if args.smooth:
+        # The smoother re-solves every frame against windowed multi-frame
+        # maps, so it needs the whole scan stack (not the streaming
+        # generator). Materialize once; both passes consume the list.
+        frames = list(frames)
+
     t0 = time.perf_counter()
     poses_velo, diag = odometry.run_sequence_host(
         frames, cfg, cam=cam, checkpoint_path=args.checkpoint,
         checkpoint_every=args.checkpoint_every, resume=args.resume)
     dt = time.perf_counter() - t0
     fps = len(poses_velo) / dt
+
+    fwd_errs = None
+    if args.smooth:
+        from velo_tpu.pipeline import smoother
+
+        if gt_cam is not None:
+            fwd_errs = kitti_metric.evaluate_trajectory(
+                odometry.velo_to_cam_trajectory(poses_velo, T_cam_velo),
+                gt_cam)
+        scans_all = np.stack([f[0] for f in frames])
+        masks_all = np.stack([f[1] for f in frames])
+        t0 = time.perf_counter()
+        poses_velo = np.asarray(smoother.smooth_trajectory(
+            scans_all, masks_all, poses_velo, cfg,
+            window=args.smooth_window, passes=args.smooth_passes))
+        print(f"smoother: {args.smooth_passes} passes, window "
+              f"±{args.smooth_window} ({time.perf_counter() - t0:.1f}s)",
+              file=sys.stderr)
 
     poses_cam = odometry.velo_to_cam_trajectory(poses_velo, T_cam_velo)
     out_path = os.path.join(args.out, f"{seq_name}.txt")
@@ -286,6 +317,10 @@ def main(argv=None):
                 t_err_pct=errs.t_err_pct,
                 r_err_deg_per_100m=errs.r_err_deg_per_100m,
             )
+            if fwd_errs is not None and fwd_errs.n_segments > 0:
+                result.update(fwd_t_err_pct=fwd_errs.t_err_pct,
+                              fwd_r_err_deg_per_100m=(
+                                  fwd_errs.r_err_deg_per_100m))
         print(
             f"drift: {errs.t_err_pct:.4f} %/100m trans, "
             f"{errs.r_err_deg_per_100m:.4f} deg/100m rot "
