@@ -78,7 +78,21 @@ def run_sequences_multihost(scans_local: np.ndarray, masks_local: np.ndarray,
     out_sh = (sh, sh, repl) if with_global_cost else (sh, sh)
     jitted = jax.jit(wrapped, in_shardings=(sh,) * (1 + len(inputs)),
                      out_shardings=out_sh)
-    res = jitted(bcarry, *inputs)
+    # Compile before touching any collective, then rendezvous through the
+    # coordination service: Gloo's cross-process context init has a hard
+    # ~30 s deadline, and per-process compile times easily diverge by more
+    # than that under load.  AOT-compiling first bounds the skew at the
+    # first collective to the (millisecond) dispatch gap.
+    compiled = jitted.lower(bcarry, *inputs).compile()
+    if jax.process_count() > 1:
+        try:
+            from jax._src import distributed as _dist
+
+            _dist.global_state.client.wait_at_barrier(
+                "velo_multihost_warm", timeout_in_ms=600_000)
+        except Exception:  # pragma: no cover - barrier API unavailable
+            pass
+    res = compiled(bcarry, *inputs)
     out = res[1]
     jax.block_until_ready(out.T_w)
 
