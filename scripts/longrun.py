@@ -96,6 +96,9 @@ def variant_cfg(name, rings, az):
         lid.update(planars_per_sector=6)
     elif name[:2] in ("s:", "l:", "m:"):
         pass  # field-override variant, handled below
+    elif name[:2] == "v:":
+        pass  # vision-field override, applied in main() after the vision
+        # config is installed (the --vision block replaces cfg.vision whole)
     else:
         raise SystemExit(f"unknown variant {name}")
     cfg = VeloConfig(lidar=LidarConfig(**lid), use_vision=False,
@@ -190,6 +193,23 @@ def main():
                     cfg, use_vision=True,
                     vision=VisionConfig(height=128, width=384,
                                         k_tracks=128, grid_cols=24))
+                if name[:2] == "v:":
+                    vfields = {f.name: f.type for f in
+                               dataclasses.fields(cfg.vision)}
+                    def _cv(k, v):
+                        ty = str(vfields[k])
+                        if "bool" in ty:
+                            return v in ("1", "true", "True")
+                        if "int" in ty:
+                            return int(v)
+                        if "str" in ty:
+                            return v
+                        return float(v)
+                    kv = dict(p.split("=") for p in name[2:].split("+"))
+                    cfg = dataclasses.replace(
+                        cfg, vision=dataclasses.replace(
+                            cfg.vision, **{k: _cv(k, v)
+                                           for k, v in kv.items()}))
                 cam = cam_mod.Camera(
                     P=jnp.asarray(P, jnp.float32),
                     T_cam_velo=jnp.asarray(T_cam_velo, jnp.float32),
