@@ -197,3 +197,40 @@ def test_klt_matmul_bf16_matches_gather_path():
                            - np.asarray(flows[impl].uv)[ok], axis=1)
         assert np.median(d) < 0.05, (impl, np.median(d))
         assert np.percentile(d, 90) < 0.2, (impl, np.percentile(d, 90))
+
+
+def test_track_residual_gate():
+    """The appearance gate keeps true matches and culls when implausibly
+    strict — i.e. it actually gates on the final patch residual."""
+    imgs, *_ = _render()
+    img = imgs[0]
+    img2 = np.roll(np.roll(img, 3, axis=0), 5, axis=1)
+    c = corners.detect(jnp.asarray(img), vcfg())
+    p_prev = pyramid.build_pyramid(jnp.asarray(img), 3)
+    p_cur = pyramid.build_pyramid(jnp.asarray(img2), 3)
+    g_prev, g_cur = klt.frame_gradients(p_prev), klt.frame_gradients(p_cur)
+
+    loose = klt.track(p_prev, p_cur, g_prev, g_cur, c.uv, c.valid,
+                      vcfg(max_track_residual=0.05))
+    off = klt.track(p_prev, p_cur, g_prev, g_cur, c.uv, c.valid, vcfg())
+    # On an exact integer shift, converged tracks have near-zero residual:
+    # a moderate gate must keep (almost) all of them.
+    assert np.asarray(loose.ok).sum() >= 0.9 * np.asarray(off.ok).sum()
+    flow = np.asarray(loose.uv) - np.asarray(c.uv)
+    ok = np.asarray(loose.ok)
+    assert np.median(np.abs(flow[ok] - np.array([5.0, 3.0]))) < 0.1
+
+    # Real rendered motion (appearance actually changes between frames):
+    # an implausibly strict gate must cull nearly everything, proving the
+    # gate reads the final patch residual (on the exact-copy roll pair
+    # above, converged residuals are legitimately ~0 and nothing culls).
+    imgs2, *_ = _render(n_poses=2, speed=6.0)
+    pp = pyramid.build_pyramid(jnp.asarray(imgs2[0]), 3)
+    pc = pyramid.build_pyramid(jnp.asarray(imgs2[1]), 3)
+    c2 = corners.detect(jnp.asarray(imgs2[0]), vcfg())
+    off2 = klt.track(pp, pc, klt.frame_gradients(pp), klt.frame_gradients(pc),
+                     c2.uv, c2.valid, vcfg())
+    strict = klt.track(pp, pc, klt.frame_gradients(pp),
+                       klt.frame_gradients(pc), c2.uv, c2.valid,
+                       vcfg(max_track_residual=1e-6))
+    assert np.asarray(strict.ok).sum() < 0.2 * np.asarray(off2.ok).sum()

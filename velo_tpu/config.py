@@ -70,9 +70,16 @@ class VisionConfig:
     # GN iterations can move at most this far from the level's initial
     # guess before the track freezes at the window edge
     fb_max_err: float = 1.0  # forward-backward consistency gate (px)
-    fb_levels: int = 1  # pyramid levels of the backward FB pass (finest-n,
-    # initialized at the expected position; = pyr_levels for the classic
-    # full uninitialized backward track)
+    max_track_residual: float = 1e9  # mean |patch residual| appearance gate
+    # (cv2's `err` analog; intensity units on [0,1] images, ~0.05-0.1
+    # typical).  >=1e8 disables the gate and its two extra patch samples.
+    fb_levels: int = 4  # pyramid levels of the backward FB pass (finest-n,
+    # initialized at the expected position; >= pyr_levels for the classic
+    # full uninitialized backward track).  Default = full: the fb_levels=1
+    # shortcut cost ~2 fused fps but admitted locally-self-similar wrong
+    # matches whose depth residuals dragged the solve — long-fixture fused
+    # drift regressed 0.74 -> 1.60 %/100m (seeds 0/2/4 means) and recovered
+    # to 0.90 when the full backward track was restored (round-3 A/B).
     min_corner_response: float = 1e-4
     depth_grid_cell: int = 4  # pixel bucket size for LiDAR depth association
     depth_search_cells: int = 1  # bucket search radius: (2s+1)^2 neighborhood

@@ -254,6 +254,17 @@ def track(prev_pyr, cur_pyr, prev_grads, cur_grads, uv0, valid,
                                n_levels=min(cfg.fb_levels, cfg.pyr_levels))
     fb = jnp.linalg.norm(uv_b - uv0, axis=-1)
     ok = valid & ok_f & ok_b & (fb < cfg.fb_max_err)
+    if cfg.max_track_residual < 1e8:
+        # Absolute appearance gate (cv2's `err` output, which callers
+        # threshold): mean |I_cur(patch at uv_f) - I_prev(patch at uv0)|.
+        # The FB check alone passes locally-self-similar wrong matches
+        # (aperture-ambiguous edges) whose backward track slides back along
+        # the same structure; those land far from the true match but LOOK
+        # consistent.  A wrong landing rarely also matches in appearance.
+        tmpl, _ = _sample_patches(prev_pyr[0], uv0, cfg)
+        cur, _ = _sample_patches(cur_pyr[0], uv_f, cfg)
+        resid = jnp.mean(jnp.abs(cur - tmpl), axis=1)
+        ok = ok & (resid < cfg.max_track_residual)
     return TrackResult(uv=uv_f, ok=ok, fb_err=fb)
 
 
