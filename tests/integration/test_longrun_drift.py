@@ -60,3 +60,55 @@ def test_longrun_drift_envelope():
         f"long-run rotational drift regressed: "
         f"{errs.r_err_deg_per_100m:.2f} deg/100m (measured ~0.7)")
     assert not np.asarray(out.degenerate)[1:].any()
+
+
+def test_longrun_drift_fused_envelope():
+    """Fused (config-4) drift envelope on the track-quality-sensitive seed.
+
+    Seed 2's geometry is where bad KLT survivors hurt most: the round-3
+    fb_levels=1 regression measured 2.29 %/100m here vs 1.25 with the full
+    backward FB check (150-frame harness) — an envelope of 2.0 separates
+    the two, so a future track-quality regression fails CI rather than a
+    hand-run sweep.
+    """
+    import os
+
+    from velo_tpu.config import VisionConfig
+    from velo_tpu.geom import camera as cam_mod
+
+    frames, seed = 100, 2
+    cache = f"/tmp/velo_ci_drift_fused_{frames}_{RINGS}_{AZ}_{seed}.npz"
+    if os.path.exists(cache):
+        d = np.load(cache)
+        scans, masks, images = d["scans"], d["masks"], d["images"]
+        gt_cam, T_cam_velo, P = d["gt_cam"], d["T_cam_velo"], d["P"]
+    else:
+        fx = fixtures.make_fixture(n_frames=frames, n_rings=RINGS,
+                                   n_azimuth=AZ, with_images=True,
+                                   height=128, width=384, speed=SPEED,
+                                   seed=seed)
+        padded = [kitti.pad_scan(s, RINGS * AZ) for s in fx.scans]
+        scans = np.stack([p[0] for p in padded])
+        masks = np.stack([p[1] for p in padded])
+        images, gt_cam, T_cam_velo, P = (fx.images, fx.gt_poses_cam,
+                                         fx.T_cam_velo, fx.P)
+        np.savez_compressed(cache, scans=scans, masks=masks, images=images,
+                            gt_cam=gt_cam, T_cam_velo=T_cam_velo, P=P)
+    cfg = VeloConfig(lidar=LidarConfig(n_rings=RINGS, n_azimuth=AZ),
+                     vision=VisionConfig(height=128, width=384, k_tracks=128,
+                                         grid_cols=24),
+                     use_vision=True, use_map=True, n_max_points=RINGS * AZ)
+    cam = cam_mod.Camera(P=jnp.asarray(P, jnp.float32),
+                         T_cam_velo=jnp.asarray(T_cam_velo, jnp.float32),
+                         width=384, height=128)
+    run = jax.jit(lambda c, s, m, im: odometry.run_scan(c, s, m, cfg,
+                                                        images=im, cam=cam))
+    carry, out = run(odometry.init_carry(cfg), jnp.asarray(scans),
+                     jnp.asarray(masks), jnp.asarray(images, jnp.float32))
+    poses_cam = odometry.velo_to_cam_trajectory(np.asarray(out.T_w),
+                                                T_cam_velo)
+    errs = kitti_metric.evaluate_trajectory(poses_cam, gt_cam)
+    assert errs.n_segments >= 2, "trajectory too short for the KITTI metric"
+    assert errs.t_err_pct < 2.0, (
+        f"fused long-run drift regressed: {errs.t_err_pct:.2f} %/100m")
+    assert not np.asarray(out.degenerate)[1:].any()
