@@ -76,7 +76,9 @@ def test_longrun_drift_fused_envelope():
     from velo_tpu.config import VisionConfig
     from velo_tpu.geom import camera as cam_mod
 
-    frames, seed = 100, 2
+    # 125 frames ≈ 124 m of path: enough for >=2 overlapping 100 m KITTI
+    # segments (a 100-frame drive is ~99 m and yields zero segments).
+    frames, seed = 125, 2
     cache = f"/tmp/velo_ci_drift_fused_{frames}_{RINGS}_{AZ}_{seed}.npz"
     if os.path.exists(cache):
         d = np.load(cache)

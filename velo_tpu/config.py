@@ -61,6 +61,12 @@ class VisionConfig:
     pyr_levels: int = 4
     klt_halfwin: int = 7  # (2*7+1)^2 = 15x15 patch
     klt_iters: int = 8  # GN iterations per pyramid level
+    klt_iters_fb: int = 4  # GN iterations per level of the BACKWARD
+    # (consistency-check) pass.  The backward track only needs to land
+    # within fb_max_err (1 px) of the start to certify a match — half the
+    # iterations of the forward pass (which must converge to sub-pixel)
+    # keeps the gate's discrimination at ~half its cost (A/B'd on the
+    # 150-frame fused fixtures: drift unchanged vs fb-iters=8)
     klt_impl: str = "auto"  # patch sampling: "auto" (local-window matmuls
     # on TPU, gather elsewhere) | "window" | "matmul" | "gather" — forced
     # values are for testing
@@ -138,6 +144,15 @@ class SolverConfig:
     # prediction — removes the O(acceleration) residual-distortion error
     # that dominates rotation noise on turning trajectories.
     ct_sweep: bool = False
+    # One-frame-lag EXACT deskew: scan i's sweep spans frames i -> i+1, so
+    # its true sweep motion is the delta solved at frame i+1 — not the
+    # constant-velocity guess available at frame i.  With this on, the
+    # stored s2s targets are re-corrected with the currently-solved delta
+    # (their exact motion) before the redeskew re-solve, and map inserts
+    # are delayed one frame so they use the exact motion too.  Identity
+    # under constant velocity; removes the O(accel) distortion bias that
+    # dominates rotation error under pitch/roll excitation (6-DoF fixtures).
+    deskew_exact_lag: bool = True
     couple_weight_trans: float = 400.0  # xi2 ~ log(T) coupling, 1/sigma^2
     couple_weight_rot: float = 20000.0  # sigma ~ 7e-3 rad (accel scale)
     # Plausibility gates (failure containment, SURVEY.md §5): a solve whose

@@ -49,8 +49,12 @@ class OdomCarry(NamedTuple):
     prev_edges: jnp.ndarray  # (K_e, 3) previous-scan edge features
     prev_edge_mask: jnp.ndarray
     prev_edge_ring: jnp.ndarray  # (K_e,) int32
+    prev_edge_phase: jnp.ndarray  # (K_e,) sweep phase in [0,1) — kept so the
+    # exact-lag deskew can re-correct stored targets once their true sweep
+    # motion (the next frame's solved delta) is known
     prev_planars: jnp.ndarray  # (K_p, 3)
     prev_planar_mask: jnp.ndarray
+    prev_planar_phase: jnp.ndarray  # (K_p,)
     edge_map: local_map.LocalMap
     planar_map: local_map.LocalMap
     frame_idx: jnp.ndarray  # scalar int32
@@ -86,8 +90,10 @@ def init_carry(cfg: VeloConfig) -> OdomCarry:
         prev_edges=jnp.zeros((ke, 3), jnp.float32),
         prev_edge_mask=jnp.zeros((ke,), bool),
         prev_edge_ring=jnp.zeros((ke,), jnp.int32),
+        prev_edge_phase=jnp.zeros((ke,), jnp.float32),
         prev_planars=jnp.zeros((kp, 3), jnp.float32),
         prev_planar_mask=jnp.zeros((kp,), bool),
+        prev_planar_phase=jnp.zeros((kp,), jnp.float32),
         edge_map=local_map.empty_map(cfg.map.edge_capacity),
         planar_map=local_map.empty_map(cfg.map.planar_capacity),
         frame_idx=jnp.int32(0),
@@ -267,6 +273,45 @@ def step(carry: OdomCarry, scan: jnp.ndarray, scan_mask: jnp.ndarray,
             edges=jnp.where(tfeats.edge_mask[:, None], te2, 0.0),
             planars=jnp.where(tfeats.planar_mask[:, None], tp2, 0.0),
         )
+        if sc.deskew_exact_lag:
+            # One-frame-lag EXACT deskew of the *targets*: scan i-1's sweep
+            # spans poses i-1 -> i, so its true sweep motion is precisely the
+            # delta being solved RIGHT NOW — not the constant-velocity guess
+            # it was stored with (its own frame's delta, one frame stale).
+            # Under constant velocity this redeskew is the identity; under
+            # acceleration (white pitch/roll excitation, hard braking) it
+            # removes the O(accel) target distortion before the re-solve.
+            # The stored correction reference is carry.delta: the previous
+            # frame corrected its kept features with its realized delta_new,
+            # which is this frame's carry.delta.
+            pe1 = deskew_mod.redeskew(carry.prev_edges, carry.prev_edge_phase,
+                                      carry.delta, delta1)
+            pp1 = deskew_mod.redeskew(carry.prev_planars,
+                                      carry.prev_planar_phase,
+                                      carry.delta, delta1)
+            edge_targets = icp.make_targets(
+                jnp.where(carry.prev_edge_mask[:, None], pe1, 0.0),
+                carry.prev_edge_mask,
+                payload=carry.prev_edge_ring[:, None])
+            planar_targets = icp.make_targets(
+                jnp.where(carry.prev_planar_mask[:, None], pp1, 0.0),
+                carry.prev_planar_mask)
+
+            def _fix_cache(cands):
+                # The candidate cache gathered target COORDINATES before the
+                # redeskew; re-correct them in place (phase recovered from
+                # the azimuth — identical to how it was assigned, up to the
+                # sub-degree azimuth shift of the correction itself).
+                if cands is None:
+                    return None
+                flat = cands.pts.reshape(-1, 3)
+                ph = deskew_mod.azimuth_phase(flat,
+                                              az_start=cfg.lidar.az_start)
+                fixed = deskew_mod.redeskew(flat, ph, carry.delta, delta1)
+                return cands._replace(pts=fixed.reshape(cands.pts.shape))
+
+            e_cands = _fix_cache(e_cands)
+            p_cands = _fix_cache(p_cands)
         T_rel, diag = icp.solve_scan_to_scan(
             feats.edges, feats.edge_mask, feats.planars, feats.planar_mask,
             edge_targets, planar_targets, T_rel, sc, vis=vis_data,
@@ -352,11 +397,33 @@ def step(carry: OdomCarry, scan: jnp.ndarray, scan_mask: jnp.ndarray,
     # misplaced map points persist and block better-localized refreshes.
     # Full refresh insert keeps the map consistent with the best poses.)
     if cfg.use_map:
-        w_edges = se3.apply(T_w[None], edges_fix[None])[0]
-        w_planars = se3.apply(T_w[None], planars_fix[None])[0]
-        edge_map = local_map.insert(carry.edge_map, w_edges, tfeats.edge_mask)
-        planar_map = local_map.insert(carry.planar_map, w_planars,
-                                      tfeats.planar_mask)
+        if cfg.use_deskew and not sc.ct_sweep and sc.deskew_exact_lag:
+            # Exact-lag insert: the previous scan's sweep motion is now
+            # pinned by this frame's realized delta, so insert the PREVIOUS
+            # scan's features — re-corrected with their exact motion — at
+            # the previous pose, one frame late.  The current scan still
+            # serves as the s2s target meanwhile, so nothing is lost; the
+            # map stops accumulating O(accel) distortion.
+            exact = jnp.where(first, carry.delta, delta_new)
+            pe_m = deskew_mod.redeskew(carry.prev_edges,
+                                       carry.prev_edge_phase,
+                                       carry.delta, exact)
+            pp_m = deskew_mod.redeskew(carry.prev_planars,
+                                       carry.prev_planar_phase,
+                                       carry.delta, exact)
+            w_edges = se3.apply(carry.T_w[None], pe_m[None])[0]
+            w_planars = se3.apply(carry.T_w[None], pp_m[None])[0]
+            edge_map = local_map.insert(carry.edge_map, w_edges,
+                                        carry.prev_edge_mask)
+            planar_map = local_map.insert(carry.planar_map, w_planars,
+                                          carry.prev_planar_mask)
+        else:
+            w_edges = se3.apply(T_w[None], edges_fix[None])[0]
+            w_planars = se3.apply(T_w[None], planars_fix[None])[0]
+            edge_map = local_map.insert(carry.edge_map, w_edges,
+                                        tfeats.edge_mask)
+            planar_map = local_map.insert(carry.planar_map, w_planars,
+                                          tfeats.planar_mask)
 
         def _maintain(em, pm):
             em = local_map.maintain(em, T_w[:3, 3], cfg.map.voxel_edge,
@@ -403,8 +470,10 @@ def step(carry: OdomCarry, scan: jnp.ndarray, scan_mask: jnp.ndarray,
         prev_edges=edges_fix,
         prev_edge_mask=tfeats.edge_mask,
         prev_edge_ring=tfeats.edge_ring,
+        prev_edge_phase=tfeats.edge_phase,
         prev_planars=planars_fix,
         prev_planar_mask=tfeats.planar_mask,
+        prev_planar_phase=tfeats.planar_phase,
         edge_map=edge_map,
         planar_map=planar_map,
         frame_idx=carry.frame_idx + 1,

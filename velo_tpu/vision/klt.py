@@ -133,7 +133,7 @@ def _track_level_window(img_prev, gx_prev, gy_prev, img_cur, uv_prev,
 
 
 def _track_level(img_prev, gx_prev, gy_prev, img_cur, uv_prev, uv_cur,
-                 cfg: VisionConfig):
+                 cfg: VisionConfig, iters=None):
     """One pyramid level of IC-LK for all features. Returns (uv_cur, ok)."""
     impl = cfg.klt_impl
     if impl == "auto":
@@ -146,7 +146,8 @@ def _track_level(img_prev, gx_prev, gy_prev, img_cur, uv_prev, uv_cur,
     if impl == "window":
         return _track_level_window(img_prev, gx_prev, gy_prev, img_cur,
                                    uv_prev, uv_cur, cfg)
-    iters = cfg.klt_iters
+    if iters is None:
+        iters = cfg.klt_iters
     # Fixed template + gradients at the previous-image feature location —
     # one 3-channel extraction (shared selection weights).
     if impl == "matmul":
@@ -202,7 +203,8 @@ def _track_level(img_prev, gx_prev, gy_prev, img_cur, uv_prev, uv_cur,
 
 
 def track_pyramid(prev_pyr, cur_pyr, prev_grads, uv0, valid,
-                  cfg: VisionConfig, uv_init=None, n_levels=None):
+                  cfg: VisionConfig, uv_init=None, n_levels=None,
+                  iters=None):
     """Track features from the previous to the current pyramid.
 
     prev_grads: tuple of (gx, gy) per level (precomputed once per frame and
@@ -221,6 +223,7 @@ def track_pyramid(prev_pyr, cur_pyr, prev_grads, uv0, valid,
         gx, gy = prev_grads[lv]
         uv, lok = _track_level(
             prev_pyr[lv], gx, gy, cur_pyr[lv], uv0 / (2.0**lv), uv, cfg,
+            iters=iters,
         )
         # A coarse level that cannot track a feature (patch out of bounds on
         # the tiny top levels, degenerate gradient) must not kill the track —
@@ -251,7 +254,8 @@ def track(prev_pyr, cur_pyr, prev_grads, cur_grads, uv0, valid,
     uv_b, ok_b = track_pyramid(cur_pyr, prev_pyr, cur_grads, uv_f,
                                valid & ok_f, cfg,
                                uv_init=None if full else uv0,
-                               n_levels=min(cfg.fb_levels, cfg.pyr_levels))
+                               n_levels=min(cfg.fb_levels, cfg.pyr_levels),
+                               iters=cfg.klt_iters_fb)
     fb = jnp.linalg.norm(uv_b - uv0, axis=-1)
     ok = valid & ok_f & ok_b & (fb < cfg.fb_max_err)
     if cfg.max_track_residual < 1e8:
