@@ -153,6 +153,14 @@ class SolverConfig:
     # under constant velocity; removes the O(accel) distortion bias that
     # dominates rotation error under pitch/roll excitation (6-DoF fixtures).
     deskew_exact_lag: bool = True
+    # Sub-knob: also re-correct the s2s *targets* (and cached candidate
+    # coordinates) with the in-flight solved delta.  Map inserts always
+    # benefit from exact motion (multi-frame aggregate, errors don't
+    # cancel); target re-correction is more delicate — the *source* scan
+    # still carries CV-prediction distortion, and making only one side
+    # exact can unbalance the matching when jerk is high (measured: 6-DoF
+    # seed 0 rotation 2.3→3.9 deg/100m) while helping translation.
+    exact_lag_targets: bool = True
     couple_weight_trans: float = 400.0  # xi2 ~ log(T) coupling, 1/sigma^2
     couple_weight_rot: float = 20000.0  # sigma ~ 7e-3 rad (accel scale)
     # Plausibility gates (failure containment, SURVEY.md §5): a solve whose

@@ -273,7 +273,7 @@ def step(carry: OdomCarry, scan: jnp.ndarray, scan_mask: jnp.ndarray,
             edges=jnp.where(tfeats.edge_mask[:, None], te2, 0.0),
             planars=jnp.where(tfeats.planar_mask[:, None], tp2, 0.0),
         )
-        if sc.deskew_exact_lag:
+        if sc.deskew_exact_lag and sc.exact_lag_targets:
             # One-frame-lag EXACT deskew of the *targets*: scan i-1's sweep
             # spans poses i-1 -> i, so its true sweep motion is precisely the
             # delta being solved RIGHT NOW — not the constant-velocity guess
