@@ -24,7 +24,7 @@ import numpy as np
 
 def get_fixture(frames, rings, az, seed=0, distorted=True,
                 with_images=False, noise_std=0.0, dropout=0.0,
-                sixdof=False):
+                sixdof=False, world="canyon"):
     tag = ("" if distorted else "_nodist") + ("_img" if with_images else "")
     if noise_std:
         tag += f"_n{noise_std:g}"
@@ -32,12 +32,18 @@ def get_fixture(frames, rings, az, seed=0, distorted=True,
         tag += f"_d{dropout:g}"
     if sixdof:
         tag += "_6dof"
+    if world != "canyon":
+        tag += f"_{world}"
     cache = f"/tmp/velo_longrun_{frames}_{rings}_{az}_{seed}{tag}.npz"
     from velo_tpu.io import fixtures, kitti
 
     # Bumpy-road excitation: ~1.7deg pitch, ~1.1deg roll, 6cm z bobbing.
     sixdof_kw = (dict(pitch_amp=0.03, roll_amp=0.02, z_amp=0.06)
                  if sixdof else {})
+    if world == "suburban":
+        # Held-out family: open terraced suburb, trajectory climbs the ~1%
+        # grade with the terrain (fixtures.suburban_world).
+        sixdof_kw.update(world=fixtures.suburban_world(seed), grade=0.01)
     n_max = rings * az
     if os.path.exists(cache):
         d = np.load(cache)
@@ -56,11 +62,13 @@ def get_fixture(frames, rings, az, seed=0, distorted=True,
         raw, gt_velo, gt_cam, T_cv = (fx.scans, fx.gt_poses_velo,
                                       fx.gt_poses_cam, fx.T_cam_velo)
     else:
-        world = fixtures.default_world(seed)
+        # Undistorted oracle branch: split sixdof_kw into world/trajectory
+        # pieces (make_trajectory doesn't take a world).
+        box_world = sixdof_kw.pop("world", None) or fixtures.default_world(seed)
         rng = np.random.default_rng(seed + 1)
         poses = fixtures.make_trajectory(frames + 1, speed=8.0, seed=seed + 2,
                                          **sixdof_kw)
-        raw = [fixtures.simulate_velodyne(world, poses[i], poses[i],
+        raw = [fixtures.simulate_velodyne(box_world, poses[i], poses[i],
                                           n_rings=rings, n_azimuth=az,
                                           rng=rng) for i in range(frames)]
         _, T_cv = fixtures.default_calib(128, 384)
@@ -150,6 +158,9 @@ def main():
                     help="also report the non-causal smoother's refinement")
     ap.add_argument("--smooth-window", type=int, default=8)
     ap.add_argument("--smooth-passes", type=int, default=2)
+    ap.add_argument("--world", default="canyon",
+                    choices=("canyon", "suburban"),
+                    help="world family (suburban = held-out terraced suburb)")
     args = ap.parse_args()
 
     import jax
@@ -164,7 +175,7 @@ def main():
             args.frames, args.rings, args.azimuth, seed,
             distorted=not args.nodistort, with_images=args.vision,
             noise_std=args.noise, dropout=args.dropout,
-            sixdof=args.sixdof)
+            sixdof=args.sixdof, world=args.world)
         if args.prebin:
             from velo_tpu.config import LidarConfig
             from velo_tpu.lidar import rangeimage as ri_mod

@@ -100,3 +100,28 @@ def test_fixture_dropout_removes_points():
                                     with_images=False, seed=5, dropout=0.3)
     for f, d in zip(full.scans, dropped.scans):
         assert 0.6 * len(f) < len(d) < 0.8 * len(f)
+
+
+def test_suburban_world_grade_trajectory():
+    """Held-out suburban family: the graded trajectory climbs with the
+    terraced terrain, keeping the sensor above local ground the whole
+    drive, and scans still return plenty of hits."""
+    from velo_tpu.io import fixtures
+
+    traj = fixtures.make_trajectory(150, speed=10.0, grade=0.01, seed=5)
+    # z climbs ~1% of distance travelled; nose tilts up (body x gains +z).
+    assert traj[-1, 2, 3] > 1.0
+    assert traj[:, 2, 0].mean() > 1e-3  # forward axis points uphill
+    world = fixtures.suburban_world(seed=5)
+    # Local terrace height under every pose stays below the sensor.
+    ground = world.maxs[world.albedo == 0.5]  # terrace slabs (albedo 0.5)
+    for T in traj[::10]:
+        x, z = T[0, 3], T[2, 3]
+        under = ground[(world.mins[world.albedo == 0.5][:, 0] <= x)
+                       & (ground[:, 0] >= x)]
+        if len(under):
+            assert z > under[:, 2].max(), (x, z, under[:, 2].max())
+    fx = fixtures.make_fixture(n_frames=2, n_rings=16, n_azimuth=256,
+                               with_images=False, world=world, grade=0.01,
+                               speed=10.0, seed=5)
+    assert len(fx.scans[0]) > 1500  # ground + structures return hits

@@ -85,6 +85,66 @@ def default_world(seed: int = 0) -> BoxWorld:
     )
 
 
+def suburban_world(seed: int = 0) -> BoxWorld:
+    """Held-out evaluation family (never used for tuning): an open suburban
+    road.  Structurally different from :func:`default_world`'s dense street
+    canyon on every axis the estimator is sensitive to:
+
+      * the ground is TERRACED — 10 m slabs stepping up ~10 cm each (a ~1 %
+        grade), so z/pitch are observable against real geometry instead of
+        one infinite plane;
+      * buildings are sparse, set far back (15-35 m), and frequently
+        one-sided, with two fully open stretches (correspondence
+        starvation on one side);
+      * clutter is low fences/hedges (long thin boxes) rather than crates.
+    """
+    rng = np.random.default_rng(seed + 7919)  # decorrelate from default_world
+    mins, maxs, albedo = [], [], []
+
+    def add(mn, mx, a):
+        mins.append(mn)
+        maxs.append(mx)
+        albedo.append(a)
+
+    # Terraced rising ground: 10 m slabs, each ~10 cm higher.
+    z = -1.73
+    for i, x in enumerate(range(-50, 260, 10)):
+        add([float(x), -60.0, -2.5], [float(x + 10), 60.0, z], 0.5)
+        z += 0.1 * rng.uniform(0.6, 1.4)
+    # Sparse set-back houses; two open stretches [60,95] and [150,185].
+    x = -15.0
+    while x < 240.0:
+        w = rng.uniform(8.0, 14.0)
+        gap = rng.uniform(12.0, 30.0)
+        in_open = (60.0 < x < 95.0) or (150.0 < x < 185.0)
+        gz = -1.73 + 0.1 * max(0.0, (x + 50.0) / 10.0)  # local terrace height
+        if not in_open:
+            side = rng.choice([-1.0, 1.0])
+            setback = rng.uniform(15.0, 35.0)
+            h = rng.uniform(3.0, 7.0)
+            y0, y1 = setback, setback + rng.uniform(8.0, 12.0)
+            if side < 0:
+                y0, y1 = -y1, -y0
+            add([x, y0, gz], [x + w, y1, gz + h], rng.uniform(0.35, 0.8))
+            # Low fence/hedge at the lot edge (long thin box).
+            fy = 6.0 * side
+            add([x - 2.0, fy - 0.3, gz], [x + w + 2.0, fy + 0.3, gz + 1.0],
+                rng.uniform(0.3, 0.6))
+        x += w + gap
+    # A few street poles (sparser than the canyon's 30).
+    for _ in range(10):
+        px = rng.uniform(-10.0, 230.0)
+        py = rng.uniform(5.0, 8.0) * rng.choice([-1.0, 1.0])
+        r = rng.uniform(0.08, 0.15)
+        gz = -1.73 + 0.1 * max(0.0, (px + 50.0) / 10.0)
+        add([px - r, py - r, gz], [px + r, py + r, gz + rng.uniform(3.0, 6.0)],
+            rng.uniform(0.3, 0.9))
+    return BoxWorld(
+        np.asarray(mins, np.float64), np.asarray(maxs, np.float64),
+        np.asarray(albedo, np.float64),
+    )
+
+
 def corridor_world(length: float = 300.0, half_width: float = 5.0,
                    wall_height: float = 6.0) -> BoxWorld:
     """A featureless straight corridor: ground + two long parallel walls.
@@ -165,7 +225,7 @@ def make_trajectory(n_frames: int, dt: float = 0.1, speed: float = 8.0,
                     yaw_rate: float = 0.04, seed: int = 1,
                     wiggle_scale: float = 0.01,
                     pitch_amp: float = 0.0, roll_amp: float = 0.0,
-                    z_amp: float = 0.0) -> np.ndarray:
+                    z_amp: float = 0.0, grade: float = 0.0) -> np.ndarray:
     """(F,4,4) velodyne-frame world poses: forward arc with gentle yaw wiggle.
 
     ``pitch_amp``/``roll_amp`` (rad) and ``z_amp`` (m) add slow 6-DoF
@@ -179,12 +239,15 @@ def make_trajectory(n_frames: int, dt: float = 0.1, speed: float = 8.0,
     x, y, yaw = 0.0, 0.0, 0.0
     wiggle = rng.uniform(-1.0, 1.0, n_frames)
     pw = rng.uniform(-1.0, 1.0, n_frames)
+    # A road grade (dz/dx) tilts the nose up and climbs z with travelled x
+    # (suburban_world's terraced terrain rises ~1 %; the vehicle follows).
+    base_pitch = -np.arctan(grade)  # velodyne y-left: +pitch noses DOWN
     for i in range(n_frames):
         # Smooth multi-period oscillations; incommensurate frequencies so
         # pitch/roll/z never phase-lock with the yaw wiggle.
-        pitch = pitch_amp * (np.sin(0.21 * i) + 0.3 * pw[i])
+        pitch = base_pitch + pitch_amp * (np.sin(0.21 * i) + 0.3 * pw[i])
         roll = roll_amp * np.sin(0.27 * i + 1.1)
-        z = z_amp * np.sin(0.11 * i)
+        z = z_amp * np.sin(0.11 * i) + grade * x
         poses[i, :3, :3] = _euler_zyx(yaw, pitch, roll)
         poses[i, :3, 3] = [x, y, z]
         poses[i, 3, 3] = 1.0
@@ -359,6 +422,7 @@ def make_fixture(
     pitch_amp: float = 0.0,
     roll_amp: float = 0.0,
     z_amp: float = 0.0,
+    grade: float = 0.0,
     dropout: float = 0.0,
 ) -> Fixture:
     """Simulate a short KITTI-like drive with exact ground truth.
@@ -373,7 +437,7 @@ def make_fixture(
     poses = make_trajectory(n_frames + 1, speed=speed, seed=seed + 2,
                             yaw_rate=yaw_rate, wiggle_scale=wiggle_scale,
                             pitch_amp=pitch_amp, roll_amp=roll_amp,
-                            z_amp=z_amp)
+                            z_amp=z_amp, grade=grade)
     P, T_cam_velo = default_calib(height, width)
 
     scans, images = [], []
