@@ -70,6 +70,34 @@ def get_frames(cfg, with_images, cache):
         fx.T_cam_velo
 
 
+def apply_overrides(cfg, spec):
+    """Apply "v:klt_iters_fb=2,s:lm_iters=4"-style field overrides (same
+    syntax as scripts/longrun.py variants) — perf-iteration aid, not a
+    production surface."""
+    import dataclasses
+
+    for item in spec.replace(",", " ").split():
+        sub = {"v": "vision", "s": "solver", "l": "lidar", "m": "map"}[
+            item[0]]
+        kv = dict(p.split("=") for p in item[2:].split("+"))
+        subcfg = getattr(cfg, sub)
+        fields = {f.name: str(f.type) for f in dataclasses.fields(subcfg)}
+
+        def _c(k, v):
+            ty = fields[k]
+            if "bool" in ty:
+                return v in ("1", "true", "True")
+            if "int" in ty:
+                return int(v)
+            if "str" in ty:
+                return v
+            return float(v)
+
+        cfg = dataclasses.replace(cfg, **{sub: dataclasses.replace(
+            subcfg, **{k: _c(k, v) for k, v in kv.items()})})
+    return cfg
+
+
 def bench_mode(mode):
     """Best-of-8 device-resident fps for one pipeline config."""
     fused = mode == "fused"
@@ -80,6 +108,8 @@ def bench_mode(mode):
         use_map=True,
         prebin_host=True,  # production loader layout (async host binning)
     )
+    if os.environ.get("VELO_BENCH_OVERRIDES"):
+        cfg = apply_overrides(cfg, os.environ["VELO_BENCH_OVERRIDES"])
     scans_np, masks_np, images_np, P, T_cam_velo = get_frames(
         cfg, fused, cache_path(mode))
     scans = jnp.asarray(scans_np)
