@@ -178,10 +178,10 @@ def test_exact_lag_deskew_identity_under_constant_velocity():
     )
     import dataclasses
 
-    cfg_on = base_cfg(use_vision=False, use_map=True)
-    cfg_off = dataclasses.replace(
-        cfg_on, solver=dataclasses.replace(cfg_on.solver,
-                                           deskew_exact_lag=False))
+    cfg_off = base_cfg(use_vision=False, use_map=True)
+    cfg_on = dataclasses.replace(
+        cfg_off, solver=dataclasses.replace(cfg_off.solver,
+                                            deskew_exact_lag=True))
     poses_on, _ = _run(fx_cv, cfg_on)
     poses_off, _ = _run(fx_cv, cfg_off)
     gt = fx_cv.gt_poses_velo

@@ -63,13 +63,16 @@ def test_longrun_drift_envelope():
 
 
 def test_longrun_drift_fused_envelope():
-    """Fused (config-4) drift envelope on the track-quality-sensitive seed.
+    """Fused (config-4) drift envelope on the historically-hard seed.
 
-    Seed 2's geometry is where bad KLT survivors hurt most: the round-3
-    fb_levels=1 regression measured 2.29 %/100m here vs 1.25 with the full
-    backward FB check (150-frame harness) — an envelope of 2.0 separates
-    the two, so a future track-quality regression fails CI rather than a
-    hand-run sweep.
+    Seed 2's geometry produced the round-3 full-scale track-quality
+    regressions.  At THIS reduced CI scale (384x128 images) the specific
+    fb_levels=1 failure mode does not reproduce (measured 1.78 vs 2.03 at
+    shipped defaults), so this is a generic fused-pipeline drift pin —
+    2.5 %/100m is ~1.25x the shipped-default measurement here and well
+    under the 4-6 % a solver/gating regression produces — not a
+    KLT-specific gate (that requires the full-scale TPU harness,
+    scripts/longrun.py --vision).
     """
     import os
 
@@ -111,6 +114,6 @@ def test_longrun_drift_fused_envelope():
                                                 T_cam_velo)
     errs = kitti_metric.evaluate_trajectory(poses_cam, gt_cam)
     assert errs.n_segments >= 2, "trajectory too short for the KITTI metric"
-    assert errs.t_err_pct < 2.0, (
+    assert errs.t_err_pct < 2.5, (
         f"fused long-run drift regressed: {errs.t_err_pct:.2f} %/100m")
     assert not np.asarray(out.degenerate)[1:].any()

@@ -150,9 +150,15 @@ class SolverConfig:
     # stored s2s targets are re-corrected with the currently-solved delta
     # (their exact motion) before the redeskew re-solve, and map inserts
     # are delayed one frame so they use the exact motion too.  Identity
-    # under constant velocity; removes the O(accel) distortion bias that
-    # dominates rotation error under pitch/roll excitation (6-DoF fixtures).
-    deskew_exact_lag: bool = True
+    # under constant velocity.
+    # Default OFF: a 3-seed CI-scale A/B measured a clear PLANAR regression
+    # (mean 2.40 vs 1.48 %/100m) — under white yaw wiggle the "exact"
+    # correction is dominated by solver noise, and matched-distortion
+    # source/target pairs beat exact-but-one-sided correction.  On 6-DoF
+    # excitation it won translation on all three seeds (1.82 vs 2.51);
+    # re-evaluate on real KITTI where jerk is structured, via
+    # s:deskew_exact_lag=1.
+    deskew_exact_lag: bool = False
     # Sub-knob: also re-correct the s2s *targets* (and cached candidate
     # coordinates) with the in-flight solved delta.  Map inserts always
     # benefit from exact motion (multi-frame aggregate, errors don't
