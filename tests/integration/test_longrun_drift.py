@@ -117,3 +117,44 @@ def test_longrun_drift_fused_envelope():
     assert errs.t_err_pct < 2.5, (
         f"fused long-run drift regressed: {errs.t_err_pct:.2f} %/100m")
     assert not np.asarray(out.degenerate)[1:].any()
+
+
+def test_longrun_drift_heldout_suburban():
+    """Drift envelope on the HELD-OUT world family (never used for tuning).
+
+    suburban_world: terraced ~1 % grade the trajectory climbs, sparse
+    one-sided set-back structures, two fully open stretches.  Shipped
+    defaults measured 1.21/0.83/1.15 %/100m (seeds 0-2) at this scale —
+    2.5 catches an overfit-to-canyon regression while allowing per-seed
+    chaos.  Seed 1 is the median seed of that sweep.
+    """
+    import os
+
+    seed = 1
+    cache = f"/tmp/velo_ci_suburban_{FRAMES}_{RINGS}_{AZ}_{seed}.npz"
+    if os.path.exists(cache):
+        d = np.load(cache)
+        scans, masks, gt_cam, T_cam_velo = (d["scans"], d["masks"],
+                                            d["gt_cam"], d["T_cam_velo"])
+    else:
+        fx = fixtures.make_fixture(
+            n_frames=FRAMES, n_rings=RINGS, n_azimuth=AZ, with_images=False,
+            speed=SPEED, seed=seed, world=fixtures.suburban_world(seed),
+            grade=0.01)
+        padded = [kitti.pad_scan(s, RINGS * AZ) for s in fx.scans]
+        scans = np.stack([p[0] for p in padded])
+        masks = np.stack([p[1] for p in padded])
+        gt_cam, T_cam_velo = fx.gt_poses_cam, fx.T_cam_velo
+        np.savez_compressed(cache, scans=scans, masks=masks, gt_cam=gt_cam,
+                            T_cam_velo=T_cam_velo)
+    cfg = VeloConfig(lidar=LidarConfig(n_rings=RINGS, n_azimuth=AZ),
+                     use_vision=False, use_map=True, n_max_points=RINGS * AZ)
+    run = jax.jit(lambda c, s, m: odometry.run_scan(c, s, m, cfg))
+    carry, out = run(odometry.init_carry(cfg), jnp.asarray(scans),
+                     jnp.asarray(masks))
+    poses_cam = odometry.velo_to_cam_trajectory(np.asarray(out.T_w),
+                                                T_cam_velo)
+    errs = kitti_metric.evaluate_trajectory(poses_cam, gt_cam)
+    assert errs.n_segments >= 2
+    assert errs.t_err_pct < 2.5, (
+        f"held-out-world drift regressed: {errs.t_err_pct:.2f} %/100m")
