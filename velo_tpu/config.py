@@ -91,6 +91,31 @@ class VisionConfig:
     depth_search_cells: int = 1  # bucket search radius: (2s+1)^2 neighborhood
     # (raise to 2-3 for sparse-ring LiDAR where projected rows are far apart)
     max_depth_spread: float = 1.0  # reject depth interp across discontinuity (m)
+    # Grazing-plane gates (held-out suburban world exposed these: open
+    # scenes put mostly GROUND under the tracked features, and a near-
+    # grazing interpolation plane amplifies pixel noise into meters of
+    # depth error — measured 18 %/100m fused vs 0.4 novis before gating).
+    min_plane_incidence: float = 0.05  # |cos| between ray and plane normal
+    # (~3 deg).  Only the most extreme grazing fails: a grazing SMOOTH
+    # plane is safe once the coplanarity gate below has excluded occlusion
+    # edges (corridor walls ahead are grazing-but-exact and carry the
+    # whole forward-recovery signal — 0.17 here broke that recovery).
+    max_depth_grad: float = 1.0  # m of interpolated depth per px of track
+    # error, |dt/duv| — the t-scaled version of the grazing test: corridor
+    # walls 30 m out are ~0.6 m/px (keep), horizon ground at 26 m is
+    # ~1.4 m/px (reject).
+    depth_range_slack: float = 0.5  # m; ray-plane intersection must land
+    # within the 3-NN depth span (+slack) — outside it is extrapolation
+    # across geometry the neighbors do not support (fence->ground, step).
+    max_plane_outlier: float = 1.0  # m; ALL valid neighborhood points must
+    # lie near the 3-NN plane.  Distinguishes a receding planar surface
+    # (large depth spread but coplanar -> keep) from an occlusion edge
+    # (foreground fence + background ground are not coplanar -> reject).
+    # Corners love occlusion edges, and a fence-top association measured
+    # 12 m of depth error while passing every spread/incidence gate.
+    # 1.0 m keeps pole/crate-edge corners (whose foreground depth is a
+    # correct physical point — 0.4 here cost the canyon ~0.8 %/100m)
+    # while still rejecting the multi-meter fence->ground T-junctions.
 
 
 @dataclass(frozen=True)
@@ -121,6 +146,13 @@ class SolverConfig:
     # "huber" | "cauchy" (redescending — hard-rejects gross outliers, but
     # see _vis_prior_terms6 for why the VISUAL terms must stay Huber)
     vis_weight: float = 0.1  # relative weight of reprojection residuals
+    # Reprojection trust ramp on the depth-track count: below lo the
+    # consensus pre-gate has no statistics (the median IS the outlier) and
+    # one bad landmark owns the weakly-observed DoF, so the block is
+    # silenced; full weight from hi up.  Epipolar terms are unaffected
+    # (depth-free).  Canyon/corridor scenes run far above hi.
+    vis_depth_lo: int = 4
+    vis_depth_hi: int = 12
     vis_pregate_px: float = 6.0  # cull depth landmarks whose reprojection at
     # the predicted pose is already off by this many pixels (wrong depth)
     epi_weight: float = 0.01  # weight of depth-unknown epipolar residuals

@@ -162,6 +162,15 @@ def step(carry: OdomCarry, scan: jnp.ndarray, scan_mask: jnp.ndarray,
             jnp.linalg.norm(r_pred - med[None, :], axis=-1)
             < cfg.solver.vis_pregate_px
         )
+        # Reprojection trust ramp: with too few depth tracks the median
+        # above has no statistics (it IS the outliers), and open scenes
+        # measured 30-60 cm/frame forward drag from 2-5 bad landmarks
+        # owning the weakly-LiDAR-constrained DoF.  Ramp the block in over
+        # [lo, hi] survivors; epipolar terms (depth-free) stay at weight.
+        n_dep = jnp.sum(depth_mask).astype(jnp.float32)
+        lo = jnp.float32(cfg.solver.vis_depth_lo)
+        hi = jnp.float32(cfg.solver.vis_depth_hi)
+        w_scale = jnp.clip((n_dep - lo) / jnp.maximum(hi - lo, 1.0), 0.0, 1.0)
         vis_data = icp.VisData(
             xyz_prev_velo=vcar.tracks.prev_xyz_velo,
             obs_uv=table.uv,
@@ -170,6 +179,7 @@ def step(carry: OdomCarry, scan: jnp.ndarray, scan_mask: jnp.ndarray,
             T_cam_velo=cam.T_cam_velo,
             uv_prev=vcar.tracks.uv,
             mask_nodepth=tracked & ~vcar.tracks.has_depth,
+            w_scale=w_scale,
         )
 
     # 3) Scan-to-scan joint solve vs previous features (+ visual residuals).

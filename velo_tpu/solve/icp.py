@@ -67,6 +67,11 @@ class VisData(NamedTuple):
     # epipolar residual between their previous and current observations.
     uv_prev: jnp.ndarray | None = None  # (K, 2)
     mask_nodepth: jnp.ndarray | None = None  # (K,)
+    # Trust scale for the REPROJECTION block (set from the depth-track
+    # count): with only a handful of depth-augmented tracks the consensus
+    # pre-gate has no statistics and one bad landmark owns a whole DoF —
+    # open scenes measured 30-60 cm/frame forward drag from exactly this.
+    w_scale: jnp.ndarray | float = 1.0
 
 
 _N_CAND = 16  # candidates precomputed per query (covers pose wander)
@@ -329,11 +334,11 @@ def _vis_prior_terms6(T, cfg: SolverConfig, vis, w_prior, prior_inv):
         wv = (
             res.huber_weight(rnorm, cfg.huber_delta_repr)
             * okv
-            * cfg.vis_weight
+            * (cfg.vis_weight * vis.w_scale)
         )
         H = H + jnp.einsum("k,kri,krj->ij", wv, Jv, Jv)
         g = g + jnp.einsum("k,kri,kr->i", wv, Jv, rv)
-        cost = cost + cfg.vis_weight * jnp.sum(
+        cost = cost + cfg.vis_weight * vis.w_scale * jnp.sum(
             res.huber_cost(rnorm, cfg.huber_delta_repr) * okv
         )
 

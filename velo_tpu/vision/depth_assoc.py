@@ -164,13 +164,47 @@ def associate(grid: DepthGrid, feat_uv: jnp.ndarray, feat_mask: jnp.ndarray,
     nn = jnp.linalg.norm(n, axis=-1)
     ok = ok & (nn > 1e-6)
     n_hat = n / jnp.maximum(nn, 1e-6)[:, None]
+
+    # Occlusion-edge gate: every valid candidate in the search window that
+    # is PIXEL-near the feature must be coplanar with the 3-NN plane.  A
+    # receding wall/ground has large depth spread but stays coplanar; an
+    # occlusion edge (fence top in front of ground/house behind) does not —
+    # and corners preferentially land on exactly those edges (measured
+    # 12 m depth error passing every spread gate on the suburban world).
+    plane_d = jnp.abs(jnp.einsum("kc,knc->kn", n_hat,
+                                 xyz9 - p3[:, :1]))  # (K, N)
+    near_px = ok9 & (d2 <= max_px * max_px)
+    outlier = jnp.any(near_px & (plane_d > cfg.max_plane_outlier), axis=1)
+    ok = ok & ~outlier
     ray = cam_mod.normalized_ray(cam, feat_uv)  # depth-1 ray
     denom = jnp.sum(n_hat * ray, axis=-1)
     ok = ok & (jnp.abs(denom) > 1e-4)
+    # Grazing-incidence gate: with the ray nearly parallel to the plane,
+    # sub-pixel track noise turns into meters of depth error (open scenes
+    # put grazing ground under most features — the held-out suburban world
+    # measured 18 %/100m drift from exactly this before the gate).
+    cos_inc = jnp.abs(denom) / jnp.maximum(
+        jnp.linalg.norm(ray, axis=-1), 1e-6)
+    ok = ok & (cos_inc > cfg.min_plane_incidence)
     t = jnp.sum(n_hat * p3[:, 0], axis=-1) / jnp.where(
         jnp.abs(denom) > 1e-4, denom, 1.0
     )
     ok = ok & (t > 0.5) & (t < 120.0)
+    # Depth-sensitivity gate (the physically right form of the grazing
+    # test): how many meters of depth does ONE pixel of track error buy?
+    # dt/du = -t * n_x / (fx * (n.ray)), dt/dv likewise.  Corridor walls
+    # 30 m ahead sit at ~0.6 m/px (keep: they carry forward recovery);
+    # horizon ground at 26 m is ~1.4 m/px (reject: sub-pixel noise becomes
+    # meters).  Unlike a plain incidence-angle cut this scales with t.
+    gu = t * n_hat[:, 0] / (cam.fx * denom)
+    gv = t * n_hat[:, 1] / (cam.fy * denom)
+    ok = ok & (gu * gu + gv * gv < cfg.max_depth_grad ** 2)
+    # The intersection must land within the depth span of the 3 supporting
+    # points (+slack): outside it the plane extrapolates across geometry
+    # the neighbors do not support (fence edge -> ground behind, terrace
+    # steps).  The ray has z=1, so t IS the projective depth z.
+    ok = ok & (t >= jnp.min(z3, axis=1) - cfg.depth_range_slack)
+    ok = ok & (t <= jnp.max(z3, axis=1) + cfg.depth_range_slack)
     xyz = ray * t[:, None]
     return DepthResult(
         xyz_cam=jnp.where(ok[:, None], xyz, 0.0),
