@@ -234,3 +234,106 @@ def test_track_residual_gate():
                        klt.frame_gradients(pc), c2.uv, c2.valid,
                        vcfg(max_track_residual=1e-6))
     assert np.asarray(strict.ok).sum() < 0.2 * np.asarray(off2.ok).sum()
+
+
+def _hand_grid(cfg, cam, entries):
+    """DepthGrid with exactly the given (u, v, z) winners (camera frame)."""
+    c = cfg.depth_grid_cell
+    rows, cols = cfg.height // c, cfg.width // c
+    xyz = np.zeros((rows * cols, 3), np.float32)
+    uv = np.full((rows * cols, 2), -1e4, np.float32)
+    valid = np.zeros((rows * cols,), bool)
+    for u, v, z in entries:
+        x = (u - float(cam.cx)) / float(cam.fx) * z
+        y = (v - float(cam.cy)) / float(cam.fy) * z
+        idx = (int(v) // c) * cols + (int(u) // c)
+        xyz[idx] = (x, y, z)
+        uv[idx] = (u, v)
+        valid[idx] = True
+    return depth_assoc.DepthGrid(xyz=jnp.asarray(xyz), uv=jnp.asarray(uv),
+                                 valid=jnp.asarray(valid),
+                                 rows=rows, cols=cols)
+
+
+def _assoc_one(cfg, cam, grid, u, v):
+    res = depth_assoc.associate(grid, jnp.asarray([[u, v]], jnp.float32),
+                                jnp.asarray([True]), cam, cfg)
+    return bool(res.ok[0]), float(res.depth[0])
+
+
+def test_depth_gate_occlusion_edge_rejected():
+    """A fence-top T-junction: 3-NN all on the near plane (coplanar, small
+    spread — passes every classic gate) but a pixel-near candidate sits
+    20 m behind.  The coplanarity gate must reject; with it disabled the
+    association returns the (wrong) foreground depth — the exact failure
+    that cost 12-18 %/100m fused on the held-out suburban world."""
+    import dataclasses
+
+    h, w = 128, 384
+    P, T_cam_velo = fixtures.default_calib(h, w)
+    cam = cam_mod.Camera(P=jnp.asarray(P, jnp.float32),
+                         T_cam_velo=jnp.asarray(T_cam_velo, jnp.float32),
+                         width=w, height=h)
+    cfg = vcfg()
+    fence = [(94.0, 68.0, 10.0), (98.0, 60.0, 10.0), (102.0, 68.0, 10.0)]
+    background = [(99.0, 71.0, 30.0)]
+    grid = _hand_grid(cfg, cam, fence + background)
+    ok, _ = _assoc_one(cfg, cam, grid, 99.0, 64.0)
+    assert not ok, "occlusion edge must be rejected"
+    loose = dataclasses.replace(cfg, max_plane_outlier=1e9)
+    ok2, t2 = _assoc_one(loose, cam, grid, 99.0, 64.0)
+    assert ok2 and abs(t2 - 10.0) < 0.3, (ok2, t2)  # gate was the reason
+
+
+def test_depth_gate_receding_plane_kept():
+    """A smooth receding surface has depth spread but stays coplanar: the
+    occlusion gates must NOT reject it (corridor walls carry the forward-
+    recovery signal)."""
+    h, w = 128, 384
+    P, T_cam_velo = fixtures.default_calib(h, w)
+    cam = cam_mod.Camera(P=jnp.asarray(P, jnp.float32),
+                         T_cam_velo=jnp.asarray(T_cam_velo, jnp.float32),
+                         width=w, height=h)
+    cfg = vcfg()
+    fx = float(cam.cx)
+    # Frontal-ish plane tilted in depth: z grows 0.1 m per px of u.
+    pts = [(u, v, 10.0 + 0.1 * (u - 98.0))
+           for u, v in ((94.0, 68.0), (98.0, 60.0), (102.0, 68.0),
+                        (105.0, 64.0))]
+    grid = _hand_grid(cfg, cam, pts)
+    ok, t = _assoc_one(cfg, cam, grid, 99.0, 64.0)
+    assert ok, "coplanar receding plane must keep its depth"
+    assert abs(t - 10.1) < 0.5, t
+
+
+def test_depth_gate_sensitivity_rejects_grazing():
+    """Horizon ground: meters of depth per pixel of track error.  The
+    |dt/duv| gate must reject; with the gate disabled the same query
+    succeeds (the gate, not geometry, is the discriminator)."""
+    import dataclasses
+
+    h, w = 128, 384
+    P, T_cam_velo = fixtures.default_calib(h, w)
+    cam = cam_mod.Camera(P=jnp.asarray(P, jnp.float32),
+                         T_cam_velo=jnp.asarray(T_cam_velo, jnp.float32),
+                         width=w, height=h)
+    cfg = vcfg()
+    fy, cy = float(cam.fy), float(cam.cy)
+    ycam = 1.7  # ground plane 1.7 m below the camera (y down)
+
+    def ground(u, z):
+        v = cy + fy * ycam / z
+        return (u, v, z)
+
+    pts = [ground(94.0, 25.0), ground(98.0, 26.0), ground(102.0, 27.0),
+           ground(105.0, 26.5)]
+    grid = _hand_grid(cfg, cam, pts)
+    u_q, v_q, _ = ground(99.0, 26.2)
+    ok, _ = _assoc_one(cfg, cam, grid, u_q, v_q)
+    assert not ok, "grazing horizon ground must be rejected"
+    loose = dataclasses.replace(cfg, max_depth_grad=1e9,
+                                max_depth_spread=1e9,
+                                min_plane_incidence=0.0,
+                                depth_range_slack=1e9)
+    ok2, t2 = _assoc_one(loose, cam, grid, u_q, v_q)
+    assert ok2 and 24.0 < t2 < 29.0, (ok2, t2)
