@@ -39,6 +39,12 @@ def build_parser():
                         "the host-pre-binned production layout")
     p.add_argument("--rings", type=int, default=None,
                    help="override ring count (synthetic default 32)")
+    p.add_argument("--world", default="canyon",
+                   choices=("canyon", "suburban", "corridor"),
+                   help="synthetic world family: street canyon (default), "
+                        "held-out terraced suburb, degenerate corridor")
+    p.add_argument("--seed", type=int, default=0,
+                   help="synthetic world/trajectory seed")
     p.add_argument("--azimuth", type=int, default=None)
     p.add_argument("--json", action="store_true",
                    help="print a machine-readable result line")
@@ -180,9 +186,16 @@ def main(argv=None):
             prebin_host=not args.no_prebin,
         )
         print(f"simulating {args.frames} frames…", file=sys.stderr)
+        world_kw = {}
+        if args.world == "suburban":
+            world_kw = dict(world=fixtures.suburban_world(args.seed),
+                            grade=0.01)
+        elif args.world == "corridor":
+            world_kw = dict(world=fixtures.corridor_world(), yaw_rate=0.0,
+                            wiggle_scale=0.0)
         fx = fixtures.make_fixture(
             n_frames=args.frames, n_rings=rings, n_azimuth=az, height=h,
-            width=w, with_images=use_vision,
+            width=w, with_images=use_vision, seed=args.seed, **world_kw,
         )
         cam = cam_mod.Camera(
             P=jnp.asarray(fx.P, jnp.float32),
