@@ -13,9 +13,29 @@ one ``lax.scan`` (the production batch path), timed with buffers donated.
 import json
 import os
 import sys
+import threading
 import time
 
-import numpy as np
+# Armed BEFORE the jax import: the axon sitecustomize registers the TPU
+# backend at interpreter start, and a wedged tunnel can block there forever
+# — a structured failure beats stalling the caller (driver) indefinitely.
+_INIT_DONE = threading.Event()
+
+
+def _init_watchdog(seconds: float):
+    if not _INIT_DONE.wait(seconds):
+        print(f"bench: backend init exceeded {seconds:.0f}s "
+              "(axon tunnel wedged?); aborting", file=sys.stderr)
+        os._exit(2)
+
+
+threading.Thread(
+    target=_init_watchdog,
+    args=(float(os.environ.get("VELO_BENCH_INIT_TIMEOUT", "900")),),
+    daemon=True,
+).start()
+
+import numpy as np  # noqa: E402
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
@@ -161,6 +181,11 @@ def bench_mode(mode):
 
 
 def main():
+    jax.devices()  # force backend init under the import-time watchdog
+    import jax.numpy as _jnp
+
+    (_jnp.ones((8, 8)) @ _jnp.ones((8, 8))).block_until_ready()
+    _INIT_DONE.set()
     modes = ["lidar", "fused"] if MODE == "both" else [MODE]
     fps = {m: bench_mode(m) for m in modes}
     # Headline = the fused (vision-enhanced, config-4) pipeline when
