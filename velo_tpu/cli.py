@@ -240,6 +240,10 @@ def main(argv=None):
             width=cfg.vision.width, height=cfg.vision.height,
         ) if use_vision else None
 
+        # Image decode off the critical path: threaded read-ahead (the scan
+        # side already prefetches in the native loader's C++ workers).
+        img_pf = kitti.ImagePrefetcher(seq.image, n) if use_vision else None
+
         def gen():
             # Prefer the native async prefetch loader (C1); fall back to the
             # synchronous Python reader when no compiler is available.
@@ -247,7 +251,7 @@ def main(argv=None):
                 if cfg.prebin_host:
                     scan, mask = ri_mod.bin_scan_host(scan[mask], cfg.lidar)
                 if use_vision:
-                    return scan, mask, seq.image(i)
+                    return scan, mask, img_pf.get(i)
                 return scan, mask
 
             try:
@@ -262,7 +266,7 @@ def main(argv=None):
                     for i, (grid, valid) in enumerate(loader):
                         if i >= n:
                             break
-                        yield ((grid, valid, seq.image(i)) if use_vision
+                        yield ((grid, valid, img_pf.get(i)) if use_vision
                                else (grid, valid))
                     return
                 from velo_tpu.io.native_loader import NativeScanLoader

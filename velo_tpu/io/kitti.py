@@ -85,6 +85,39 @@ def pad_scan(scan: np.ndarray, n_max: int) -> tuple[np.ndarray, np.ndarray]:
     return out, mask
 
 
+class ImagePrefetcher:
+    """Threaded read-ahead for per-frame images.
+
+    ``cv2.imread`` releases the GIL during PNG decode (~1-3 ms for a
+    KITTI-scale grayscale frame), so prefetching overlaps the decode with
+    the device step instead of paying it on the 10 ms/frame critical path.
+    Sequential access pattern assumed (the streaming odometry loop); a
+    random access falls back to a synchronous fetch.
+    """
+
+    def __init__(self, fetch, n_frames: int, depth: int = 4,
+                 workers: int = 2):
+        from concurrent.futures import ThreadPoolExecutor
+
+        self._fetch = fetch
+        self._n = n_frames
+        self._depth = depth
+        self._ex = ThreadPoolExecutor(max_workers=workers)
+        self._futs: dict = {}
+        for j in range(min(depth, n_frames)):
+            self._futs[j] = self._ex.submit(fetch, j)
+
+    def get(self, i: int) -> np.ndarray:
+        for j in range(i + 1, min(i + 1 + self._depth, self._n)):
+            if j not in self._futs:
+                self._futs[j] = self._ex.submit(self._fetch, j)
+        fut = self._futs.pop(i, None)
+        return fut.result() if fut is not None else self._fetch(i)
+
+    def close(self):
+        self._ex.shutdown(wait=False, cancel_futures=True)
+
+
 class KittiSequence:
     """Lazy per-frame access to one KITTI odometry sequence on disk."""
 
