@@ -290,6 +290,8 @@ def simulate_velodyne(
     azimuth_steps: int = 32,
     rng: Optional[np.random.Generator] = None,
     noise_std: float = 0.0,
+    beam_elev: Optional[np.ndarray] = None,
+    az_start: float = 0.0,
 ) -> np.ndarray:
     """One motion-distorted scan: float32 (n_rings * n_azimuth, 4).
 
@@ -300,9 +302,18 @@ def simulate_velodyne(
     *instantaneous* sensor frame — exactly how a raw KITTI .bin distorts.
     Points with no return get range 0 (KITTI drops them; we emit and filter).
     """
-    elev = np.deg2rad(np.linspace(elev_max_deg, elev_min_deg, n_rings))
+    # ``beam_elev`` overrides the uniform ladder with a real sensor table
+    # (e.g. rangeimage.hdl64e_beam_elevations — two blocks of non-uniform
+    # spacing); ``az_start`` rotates the sweep start (real KITTI starts
+    # near the rear, ~pi) so the real-data conventions are exercisable on
+    # synthetic drives.
+    if beam_elev is not None:
+        elev = np.asarray(beam_elev, np.float64)
+        assert elev.shape == (n_rings,)
+    else:
+        elev = np.deg2rad(np.linspace(elev_max_deg, elev_min_deg, n_rings))
     phase = (np.arange(n_azimuth) + 0.5) / n_azimuth
-    az_all = -2.0 * np.pi * phase  # clockwise
+    az_all = az_start - 2.0 * np.pi * phase  # clockwise from az_start
 
     # Exact per-column sensor pose (azimuth_steps kept for API compat).
     R_c, t_c = _interp_poses(pose_start, pose_end, phase)  # (C,3,3),(C,3)
@@ -424,6 +435,8 @@ def make_fixture(
     z_amp: float = 0.0,
     grade: float = 0.0,
     dropout: float = 0.0,
+    beam_elev: Optional[np.ndarray] = None,
+    az_start: float = 0.0,
 ) -> Fixture:
     """Simulate a short KITTI-like drive with exact ground truth.
 
@@ -444,7 +457,8 @@ def make_fixture(
     for i in range(n_frames):
         scan = simulate_velodyne(
             world, poses[i], poses[i + 1], n_rings=n_rings, n_azimuth=n_azimuth,
-            rng=rng, noise_std=noise_std,
+            rng=rng, noise_std=noise_std, beam_elev=beam_elev,
+            az_start=az_start,
         )
         if dropout > 0:
             scan = scan[rng.uniform(size=len(scan)) >= dropout]
