@@ -153,6 +153,12 @@ class SolverConfig:
     # (depth-free).  Canyon/corridor scenes run far above hi.
     vis_depth_lo: int = 4
     vis_depth_hi: int = 12
+    # Inverse-variance landmark weighting: w = 1/(1+(|dt/duv|/g0)^2).  At
+    # g0=0.6 m/px a frontal surface (~0 m/px) keeps full weight, corridor
+    # walls 30 m out (~0.6 m/px) keep 50 % — they carry the corridor
+    # forward recovery, which broke at g0=0.3 — and landmarks near the
+    # 1.0 m/px hard gate keep ~25 %.
+    vis_grad_soft: float = 0.6
     vis_pregate_px: float = 6.0  # cull depth landmarks whose reprojection at
     # the predicted pose is already off by this many pixels (wrong depth)
     epi_weight: float = 0.01  # weight of depth-unknown epipolar residuals

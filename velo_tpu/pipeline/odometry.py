@@ -171,6 +171,12 @@ def step(carry: OdomCarry, scan: jnp.ndarray, scan_mask: jnp.ndarray,
         lo = jnp.float32(cfg.solver.vis_depth_lo)
         hi = jnp.float32(cfg.solver.vis_depth_hi)
         w_scale = jnp.clip((n_dep - lo) / jnp.maximum(hi - lo, 1.0), 0.0, 1.0)
+        # Per-landmark inverse-variance weight from the association's depth
+        # sensitivity: a landmark whose depth moves g meters per pixel of
+        # track error carries (g·sigma_px)^2 of depth variance — smoothly
+        # down-weight instead of only hard-gating at max_depth_grad.
+        g0 = jnp.float32(cfg.solver.vis_grad_soft)
+        w_lm = 1.0 / (1.0 + (vcar.tracks.depth_grad / g0) ** 2)
         vis_data = icp.VisData(
             xyz_prev_velo=vcar.tracks.prev_xyz_velo,
             obs_uv=table.uv,
@@ -180,6 +186,7 @@ def step(carry: OdomCarry, scan: jnp.ndarray, scan_mask: jnp.ndarray,
             uv_prev=vcar.tracks.uv,
             mask_nodepth=tracked & ~vcar.tracks.has_depth,
             w_scale=w_scale,
+            w_lm=w_lm,
         )
 
     # 3) Scan-to-scan joint solve vs previous features (+ visual residuals).
@@ -468,6 +475,7 @@ def step(carry: OdomCarry, scan: jnp.ndarray, scan_mask: jnp.ndarray,
             prev_xyz_velo=jnp.where(dres.ok[:, None], X_velo,
                                     table.prev_xyz_velo),
             has_depth=dres.ok,
+            depth_grad=jnp.where(dres.ok, dres.grad, 0.0),
         )
         cns = corners_mod.detect(image, cfg.vision)
         table = tracks_mod.replenish(table, cns, cfg.vision)

@@ -72,6 +72,10 @@ class VisData(NamedTuple):
     # pre-gate has no statistics and one bad landmark owns a whole DoF —
     # open scenes measured 30-60 cm/frame forward drag from exactly this.
     w_scale: jnp.ndarray | float = 1.0
+    # Per-landmark inverse-variance weight from the depth association's
+    # |dt/duv| sensitivity (grazing-ish planes inside the hard gates still
+    # amplify range/track noise into depth error).
+    w_lm: jnp.ndarray | float = 1.0
 
 
 _N_CAND = 16  # candidates precomputed per query (covers pose wander)
@@ -334,12 +338,13 @@ def _vis_prior_terms6(T, cfg: SolverConfig, vis, w_prior, prior_inv):
         wv = (
             res.huber_weight(rnorm, cfg.huber_delta_repr)
             * okv
+            * vis.w_lm
             * (cfg.vis_weight * vis.w_scale)
         )
         H = H + jnp.einsum("k,kri,krj->ij", wv, Jv, Jv)
         g = g + jnp.einsum("k,kri,kr->i", wv, Jv, rv)
         cost = cost + cfg.vis_weight * vis.w_scale * jnp.sum(
-            res.huber_cost(rnorm, cfg.huber_delta_repr) * okv
+            res.huber_cost(rnorm, cfg.huber_delta_repr) * okv * vis.w_lm
         )
 
     if (vis is not None and vis.uv_prev is not None

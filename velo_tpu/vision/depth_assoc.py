@@ -119,6 +119,7 @@ class DepthResult(NamedTuple):
     xyz_cam: jnp.ndarray  # (K, 3) feature landmark in the camera frame
     depth: jnp.ndarray  # (K,) projective depth
     ok: jnp.ndarray  # (K,)
+    grad: jnp.ndarray  # (K,) |dt/duv| depth sensitivity (m/px; 0 where !ok)
 
 
 def associate(grid: DepthGrid, feat_uv: jnp.ndarray, feat_mask: jnp.ndarray,
@@ -198,7 +199,8 @@ def associate(grid: DepthGrid, feat_uv: jnp.ndarray, feat_mask: jnp.ndarray,
     # meters).  Unlike a plain incidence-angle cut this scales with t.
     gu = t * n_hat[:, 0] / (cam.fx * denom)
     gv = t * n_hat[:, 1] / (cam.fy * denom)
-    ok = ok & (gu * gu + gv * gv < cfg.max_depth_grad ** 2)
+    grad2 = gu * gu + gv * gv
+    ok = ok & (grad2 < cfg.max_depth_grad ** 2)
     # The intersection must land within the depth span of the 3 supporting
     # points (+slack): outside it the plane extrapolates across geometry
     # the neighbors do not support (fence edge -> ground behind, terrace
@@ -210,4 +212,5 @@ def associate(grid: DepthGrid, feat_uv: jnp.ndarray, feat_mask: jnp.ndarray,
         xyz_cam=jnp.where(ok[:, None], xyz, 0.0),
         depth=jnp.where(ok, t, 0.0),
         ok=ok,
+        grad=jnp.where(ok, jnp.sqrt(grad2), 0.0),
     )

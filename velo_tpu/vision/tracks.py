@@ -22,6 +22,9 @@ class TrackTable(NamedTuple):
     age: jnp.ndarray  # (K,) int32 frames tracked
     prev_xyz_velo: jnp.ndarray  # (K, 3) landmark at previous frame (velo)
     has_depth: jnp.ndarray  # (K,) landmark depth valid
+    depth_grad: jnp.ndarray  # (K,) |dt/duv| of the landmark's association
+    # (m/px); drives inverse-variance reprojection weighting.  Only read
+    # where has_depth, so replenished slots need no reset.
 
 
 def empty_tracks(cfg: VisionConfig) -> TrackTable:
@@ -32,6 +35,7 @@ def empty_tracks(cfg: VisionConfig) -> TrackTable:
         age=jnp.zeros((K,), jnp.int32),
         prev_xyz_velo=jnp.zeros((K, 3), jnp.float32),
         has_depth=jnp.zeros((K,), bool),
+        depth_grad=jnp.zeros((K,), jnp.float32),
     )
 
 
