@@ -19,7 +19,32 @@ import time
 # Armed BEFORE the jax import: the axon sitecustomize registers the TPU
 # backend at interpreter start, and a wedged tunnel can block there forever
 # — a structured failure beats stalling the caller (driver) indefinitely.
+# 180 s is generous for a healthy tunnel (first device contact is seconds);
+# a wedge never recovers within any timeout, so fail fast.
 _INIT_DONE = threading.Event()
+
+# Partial-result state: completed modes land here so a mid-run wedge (e.g.
+# the fused half dying after the lidar half measured) still yields a
+# parsable one-line artifact instead of rc=2 with nothing.
+_PARTIAL_FPS = {}
+_PARTIAL_LOCK = threading.Lock()
+
+
+def _emit_record(fps, partial):
+    head = "fused" if "fused" in fps else "lidar"
+    name = ("odometry_frames_per_sec" if head == "lidar"
+            else "odometry_frames_per_sec_fused")
+    record = {
+        "metric": name,
+        "value": round(fps[head], 2),
+        "unit": "frames/s",
+        "vs_baseline": round(fps[head] / BASELINE_FPS, 3),
+    }
+    for m, v in fps.items():
+        record[f"{m}_fps"] = round(v, 2)
+    if partial:
+        record["partial"] = True
+    print(json.dumps(record), flush=True)
 
 
 def _init_watchdog(seconds: float):
@@ -31,7 +56,7 @@ def _init_watchdog(seconds: float):
 
 threading.Thread(
     target=_init_watchdog,
-    args=(float(os.environ.get("VELO_BENCH_INIT_TIMEOUT", "900")),),
+    args=(float(os.environ.get("VELO_BENCH_INIT_TIMEOUT", "180")),),
     daemon=True,
 ).start()
 
@@ -180,6 +205,33 @@ def bench_mode(mode):
     return n_total / best
 
 
+def _mode_watchdog():
+    """If a mode wedges mid-run (tunnel death AFTER init), print whatever
+    modes already completed as a partial record and bail.  Deadline is per
+    bench_mode call (main resets the timer), sized for a cold compile of
+    the full fused step graph (1-10 min without the persistent cache)."""
+    while True:
+        with _PARTIAL_LOCK:
+            remaining = _MODE_DEADLINE[0] - time.monotonic()
+            done = dict(_PARTIAL_FPS)
+        if _ALL_DONE.is_set():
+            return
+        if remaining <= 0:
+            if done:
+                _emit_record(done, partial=True)
+                print("bench: mode deadline exceeded (tunnel wedged "
+                      "mid-run?); emitted partial record", file=sys.stderr)
+                os._exit(0)
+            print("bench: mode deadline exceeded with no completed modes; "
+                  "aborting", file=sys.stderr)
+            os._exit(2)
+        time.sleep(min(remaining + 0.5, 10.0))
+
+
+_MODE_DEADLINE = [float("inf")]
+_ALL_DONE = threading.Event()
+
+
 def main():
     jax.devices()  # force backend init under the import-time watchdog
     import jax.numpy as _jnp
@@ -187,22 +239,19 @@ def main():
     (_jnp.ones((8, 8)) @ _jnp.ones((8, 8))).block_until_ready()
     _INIT_DONE.set()
     modes = ["lidar", "fused"] if MODE == "both" else [MODE]
-    fps = {m: bench_mode(m) for m in modes}
+    per_mode = float(os.environ.get("VELO_BENCH_MODE_TIMEOUT", "900"))
+    threading.Thread(target=_mode_watchdog, daemon=True).start()
+    for m in modes:
+        with _PARTIAL_LOCK:
+            _MODE_DEADLINE[0] = time.monotonic() + per_mode
+        v = bench_mode(m)
+        with _PARTIAL_LOCK:
+            _PARTIAL_FPS[m] = v
+    _ALL_DONE.set()
     # Headline = the fused (vision-enhanced, config-4) pipeline when
     # measured — that is the north-star workload; the LiDAR-only number
     # rides along as an extra key either way.
-    head = "fused" if "fused" in fps else "lidar"
-    name = ("odometry_frames_per_sec" if head == "lidar"
-            else "odometry_frames_per_sec_fused")
-    record = {
-        "metric": name,
-        "value": round(fps[head], 2),
-        "unit": "frames/s",
-        "vs_baseline": round(fps[head] / BASELINE_FPS, 3),
-    }
-    for m, v in fps.items():
-        record[f"{m}_fps"] = round(v, 2)
-    print(json.dumps(record))
+    _emit_record(dict(_PARTIAL_FPS), partial=False)
 
 
 if __name__ == "__main__":
