@@ -98,16 +98,26 @@ def run_batch_mode(args):
         use_map=not args.no_map,
         use_deskew=not args.no_deskew,
         n_max_points=rings * az,
+        # Same production default as single-sequence mode: frames arrive as
+        # host-pre-binned (R, W, 5) grids (the bench/loader layout).
+        prebin_host=not args.no_prebin,
     )
     print(f"simulating {args.batch} sequences x {args.frames} frames…",
           file=sys.stderr)
+    from velo_tpu.lidar import rangeimage as ri_mod
+
+    def _lidar_frame(s):
+        if cfg.prebin_host:
+            return ri_mod.bin_scan_host(s, cfg.lidar)
+        return kitti.pad_scan(s, cfg.n_max_points)
+
     scans, masks, gts, tcvs, images = [], [], [], [], []
     cam = None
     for b in range(args.batch):
         fx = fixtures.make_fixture(n_frames=args.frames, n_rings=rings,
                                    n_azimuth=az, with_images=use_vision,
                                    height=h, width=w, seed=100 + b)
-        padded = [kitti.pad_scan(s, cfg.n_max_points) for s in fx.scans]
+        padded = [_lidar_frame(s) for s in fx.scans]
         scans.append(np.stack([p[0] for p in padded]))
         masks.append(np.stack([p[1] for p in padded]))
         gts.append(fx.gt_poses_cam)
@@ -148,7 +158,8 @@ def run_batch_mode(args):
     total_fps = args.batch * args.frames / dt
     result = {"batch": args.batch, "frames": args.frames,
               "agg_fps": round(total_fps, 2),
-              "sharded": bool(args.shard), "sequences": rows}
+              "sharded": bool(args.shard), "prebin": cfg.prebin_host,
+              "sequences": rows}
     print(json.dumps(result))
     return 0
 
