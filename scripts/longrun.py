@@ -285,14 +285,15 @@ def main():
                 rows.append(srow)
                 print(json.dumps(srow))
             if args.dump:
+                # Every FrameResult diagnostic (lm_accept, gate/prior/map
+                # activation flags, depth-track survivors, trust ramp, ...)
+                # rides along so episode analysis needs only this dump.
+                diag = {k: np.asarray(getattr(out, k))
+                        for k in type(out)._fields if k != "T_w"}
                 np.savez_compressed(
                     f"{args.dump}_{name.replace(':','_')}_s{seed}.npz",
-                    rel=rel, rot=rot,
-                    n_edge=np.asarray(out.n_edge),
-                    n_planar=np.asarray(out.n_planar),
-                    cost=np.asarray(out.cost),
-                    degenerate=np.asarray(out.degenerate),
-                    poses_velo=poses_velo, gt_velo=gt_velo)
+                    rel=rel, rot=rot, poses_velo=poses_velo, gt_velo=gt_velo,
+                    **diag)
     return rows
 
 

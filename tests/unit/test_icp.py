@@ -262,3 +262,77 @@ def test_robust_loss_dispatch_rejects_unknown():
 
     with pytest.raises(ValueError):
         res.robust_weight(jnp.ones(3), 0.1, "tukey")
+
+
+def test_obs_scaled_prior_pins_weak_direction_only():
+    """Per-DoF observability-scaled prior (prior_obs_gain > 0).
+
+    Corridor-like geometry: hundreds of planes whose normals span only
+    y/z, plus a handful of x-normal planes whose offsets are biased +0.5 m
+    (the open-stretch 'wrong constraint directionality' episode in
+    miniature).  The isotropic dead-zone prior lets the solve ride to its
+    dead-zone edge along x; the eigen-scaled prior detects x as weak
+    (lam_x ~ 1% of lam_max), boosts the prior weight and shrinks the dead
+    zone there, and pins x near the constant-velocity prediction — while
+    the well-observed y/z/rot estimates stay unchanged.
+    """
+    import dataclasses
+
+    from velo_tpu.solve.lm import lm_solve
+
+    rng = np.random.default_rng(123)
+    n_main, n_bias = 300, 8
+    pts_main = rng.uniform(-10, 10, (n_main, 3)).astype(np.float32)
+    # Normals restricted to the y/z plane: x translation unobserved by them.
+    ang = rng.uniform(0, 2 * np.pi, n_main)
+    n_main_vec = np.stack(
+        [np.zeros(n_main), np.cos(ang), np.sin(ang)], axis=1
+    ).astype(np.float32)
+    d_main = -(n_main_vec * pts_main).sum(1)  # zero residual at identity
+
+    pts_bias = rng.uniform(-10, 10, (n_bias, 3)).astype(np.float32)
+    n_bias_vec = np.tile(np.array([[1.0, 0, 0]], np.float32), (n_bias, 1))
+    d_bias = -(pts_bias[:, 0] + 0.5)  # consistent +0.5 m pull along x
+
+    planars = jnp.asarray(np.concatenate([pts_main, pts_bias]))
+    pl_n = jnp.asarray(np.concatenate([n_main_vec, n_bias_vec]))
+    pl_d = jnp.asarray(np.concatenate([d_main, d_bias]).astype(np.float32))
+    ok = jnp.ones(n_main + n_bias, bool)
+    # No edge features in this scene.
+    edges = jnp.zeros((4, 3), jnp.float32)
+    e_ok = jnp.zeros(4, bool)
+
+    def solve(cfg):
+        build = icp.make_lidar_system(
+            edges, e_ok, edges, edges + 1.0, e_ok,
+            planars, ok, pl_n, pl_d, ok, cfg,
+            prior_T=se3.identity(), prior_scale=jnp.float32(1.0),
+        )
+        T, _ = lm_solve(build, se3.identity(), cfg, iters=12)
+        return np.asarray(se3.log(T))
+
+    base = SolverConfig()
+    xi_iso = solve(base)
+    xi_obs = solve(dataclasses.replace(base, prior_obs_gain=4.0))
+
+    # Isotropic: x rides out to (at least) the dead-zone edge.
+    assert xi_iso[0] > 0.15, xi_iso
+    # Scaled: x pinned near the prediction (well inside the base dead zone).
+    assert xi_obs[0] < 0.5 * xi_iso[0], (xi_iso, xi_obs)
+    # Well-observed directions unaffected (both solves keep them ~0).
+    np.testing.assert_allclose(xi_obs[1:], xi_iso[1:], atol=5e-3)
+
+
+def test_obs_scaled_prior_keeps_observed_directions_free():
+    """A fully-observed deviation inside the dead zone stays cost-free under
+    the eigen-scaled prior: strong isotropic geometry => obs=1 in every
+    direction => base weight and dead zone everywhere."""
+    cfg = SolverConfig(prior_obs_gain=4.0)
+    w_prior = jnp.asarray([cfg.prior_weight_trans] * 3
+                          + [cfg.prior_weight_rot] * 3, jnp.float32)
+    H_obs = jnp.eye(6, dtype=jnp.float32) * 1e4
+    r_pr = jnp.asarray([0.1, -0.1, 0.05, 0.005, -0.005, 0.008], jnp.float32)
+    H, g, c = icp._obs_scaled_prior(cfg, w_prior, r_pr, H_obs)
+    np.testing.assert_allclose(np.asarray(g), 0.0, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(H), 0.0, atol=1e-9)
+    assert float(c) == 0.0

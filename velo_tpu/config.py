@@ -177,6 +177,21 @@ class SolverConfig:
     # is penalized.
     prior_deadzone_trans: float = 0.2  # m/frame^2
     prior_deadzone_rot: float = 0.015  # rad/frame^2 (~0.86 deg)
+    # Per-DoF observability-scaled prior: rotate the prior into the
+    # eigenbasis of the geometric Hessian's trans/rot 3x3 blocks and, along
+    # directions the current correspondences barely constrain (eigenvalue
+    # below prior_obs_ref x the block's strongest), boost the prior weight
+    # by up to (1 + prior_obs_gain) and shrink the dead zone toward
+    # prior_obs_dz_floor x its base width.  Rationale: open-stretch failure
+    # episodes show a consistent body-frame bias in exactly the weak
+    # directions (healthy feature counts, wrong constraint directionality);
+    # a deviation-from-prediction prior low-passes that bias — per frame the
+    # solve moves only ~W_L/(W_L+W_P) of the way toward the biased answer —
+    # while fully-observed directions keep their tuned behavior.  gain=0
+    # disables (zero-cost static branch).
+    prior_obs_gain: float = 0.0
+    prior_obs_ref: float = 0.05
+    prior_obs_dz_floor: float = 0.25
     # Continuous-time sweep solve (12 DoF): jointly estimate the current
     # scan's own sweep motion instead of assuming the constant-velocity
     # prediction — removes the O(acceleration) residual-distortion error

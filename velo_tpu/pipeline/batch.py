@@ -47,8 +47,10 @@ def run_sequences(scans: np.ndarray, masks: np.ndarray, cfg: VeloConfig,
     """Run B independent sequences as one batched program.
 
     Args:
-      scans: (B, F, N_MAX, 4) float32.
-      masks: (B, F, N_MAX) bool.
+      scans: (B, F, N_MAX, 4) float32 raw padded points, or — with
+        ``cfg.prebin_host`` (the production loader layout) —
+        (B, F, R, W, 5) host-pre-binned grids.
+      masks: (B, F, N_MAX) bool, or (B, F, R, W) with ``cfg.prebin_host``.
       shard: place the batch dimension over all local devices (B must be a
         multiple of the device count).  With one device this is a no-op.
       images: (B, F, H, W) float32 when ``cfg.use_vision`` (config-4 fused
@@ -86,8 +88,6 @@ def run_sequences(scans: np.ndarray, masks: np.ndarray, cfg: VeloConfig,
     final, out = run(bcarry, *inputs)
     jax.block_until_ready(out.T_w)
     return np.asarray(out.T_w), {
-        "n_edge": np.asarray(out.n_edge),
-        "n_planar": np.asarray(out.n_planar),
-        "cost": np.asarray(out.cost),
-        "degenerate": np.asarray(out.degenerate),
+        k: np.asarray(getattr(out, k))
+        for k in type(out)._fields if k != "T_w"
     }

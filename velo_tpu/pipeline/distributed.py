@@ -104,12 +104,8 @@ def run_sequences_multihost(scans_local: np.ndarray, masks_local: np.ndarray,
         return np.concatenate([d for _, d in shards], axis=0)
 
     poses = _local(out.T_w)
-    diag = {
-        "n_edge": _local(out.n_edge),
-        "n_planar": _local(out.n_planar),
-        "cost": _local(out.cost),
-        "degenerate": _local(out.degenerate),
-    }
+    diag = {k: _local(getattr(out, k))
+            for k in type(out)._fields if k != "T_w"}
     if with_global_cost:
         return poses, diag, float(res[2])
     return poses, diag

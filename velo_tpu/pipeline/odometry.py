@@ -62,11 +62,36 @@ class OdomCarry(NamedTuple):
 
 
 class FrameResult(NamedTuple):
+    """Per-frame diagnostics through the scan carry (SURVEY.md §5 metrics
+    row).  All fixed-shape scalars, so carrying them costs nothing; they
+    make episode analysis (e.g. the suburban open-stretch bias) possible
+    from a single ``longrun.py --dump`` instead of ad-hoc probe scripts."""
+
     T_w: jnp.ndarray  # (4,4) pose of this frame (velodyne frame)
     n_edge: jnp.ndarray
     n_planar: jnp.ndarray
     cost: jnp.ndarray
     degenerate: jnp.ndarray
+    # int32: LM steps accepted in the (final) scan-to-scan solve, summed
+    # over its outer ICP iterations (0 = stuck at init; full budget =
+    # never converged within the iteration cap).
+    lm_accept: jnp.ndarray | int = 0
+    # int32: same for the scan-to-map refinement (0 when map off/skipped).
+    lm_accept_map: jnp.ndarray | int = 0
+    # bool: plausibility gate fired (solve rejected, constant-velocity
+    # prediction kept).
+    implausible: jnp.ndarray | bool = False
+    # bool: the scan-to-map correction passed its gates and was applied.
+    map_applied: jnp.ndarray | bool = False
+    # bool: final motion lies outside the dead-zone motion prior (the
+    # prior's quadratic tail was actively pulling this frame).
+    prior_active: jnp.ndarray | bool = False
+    # int32: depth-augmented track survivors of the consensus pre-gate
+    # (the reprojection block's sample size; 0 when vision off).
+    n_depth: jnp.ndarray | int = 0
+    # float32: reprojection trust-ramp scale in [0, 1] (1 when vision off
+    # so dumps read "fully trusted" only when the ramp isn't limiting).
+    vis_w_scale: jnp.ndarray | float = 1.0
 
 
 def init_carry(cfg: VeloConfig) -> OdomCarry:
@@ -132,6 +157,8 @@ def step(carry: OdomCarry, scan: jnp.ndarray, scan_mask: jnp.ndarray,
 
     # 2v) Visual front-end: pyramid + KLT track + reprojection data.
     vis_data = None
+    n_dep = jnp.int32(0)
+    w_scale = jnp.float32(1.0)
     T_pred = se3.exp(carry.delta)
     if cfg.use_vision:
         vc = cfg.vision
@@ -167,10 +194,11 @@ def step(carry: OdomCarry, scan: jnp.ndarray, scan_mask: jnp.ndarray,
         # measured 30-60 cm/frame forward drag from 2-5 bad landmarks
         # owning the weakly-LiDAR-constrained DoF.  Ramp the block in over
         # [lo, hi] survivors; epipolar terms (depth-free) stay at weight.
-        n_dep = jnp.sum(depth_mask).astype(jnp.float32)
+        n_dep = jnp.sum(depth_mask).astype(jnp.int32)
         lo = jnp.float32(cfg.solver.vis_depth_lo)
         hi = jnp.float32(cfg.solver.vis_depth_hi)
-        w_scale = jnp.clip((n_dep - lo) / jnp.maximum(hi - lo, 1.0), 0.0, 1.0)
+        w_scale = jnp.clip((n_dep.astype(jnp.float32) - lo)
+                           / jnp.maximum(hi - lo, 1.0), 0.0, 1.0)
         # Per-landmark inverse-variance weight from the association's depth
         # sensitivity: a landmark whose depth moves g meters per pixel of
         # track error carries (g·sigma_px)^2 of depth variance — smoothly
@@ -348,10 +376,19 @@ def step(carry: OdomCarry, scan: jnp.ndarray, scan_mask: jnp.ndarray,
         (jnp.linalg.norm(dev[:3]) > sc.max_accel_trans)
         | (jnp.linalg.norm(dev[3:]) > sc.max_accel_rot)
     ) & (carry.frame_idx >= 2)
+    # Diagnostic: the dead-zone motion prior's quadratic tail was pulling on
+    # this frame (the solved motion deviates from the constant-velocity
+    # prediction beyond the dead zone it is free within).
+    prior_active = (
+        (jnp.linalg.norm(dev[:3]) > sc.prior_deadzone_trans)
+        | (jnp.linalg.norm(dev[3:]) > sc.prior_deadzone_rot)
+    ) & (prior_scale > 0)
     T_rel = jnp.where(implausible, se3.exp(carry.delta), T_rel)
     T_w = carry.T_w @ T_rel
 
     # 4) Scan-to-map refinement against the local map (config >= 2).
+    map_applied = jnp.asarray(False)
+    lm_accept_map = jnp.int32(0)
     if cfg.use_map:
         e_targets = icp.make_targets(carry.edge_map.pts, carry.edge_map.mask)
         p_targets = icp.make_targets(carry.planar_map.pts,
@@ -375,7 +412,8 @@ def step(carry: OdomCarry, scan: jnp.ndarray, scan_mask: jnp.ndarray,
                 _map_solve,
                 lambda: (T_w, icp.SolveDiag(
                     n_edge=jnp.int32(0), n_planar=jnp.int32(0),
-                    cost=jnp.float32(0.0), degenerate=jnp.asarray(True))),
+                    cost=jnp.float32(0.0), degenerate=jnp.asarray(True),
+                    lm_accept=jnp.int32(0))),
             )
         else:
             T_map, diag_m = _map_solve()
@@ -386,7 +424,9 @@ def step(carry: OdomCarry, scan: jnp.ndarray, scan_mask: jnp.ndarray,
             (jnp.linalg.norm(corr[:3]) < sc.max_map_corr_trans)
             & (jnp.linalg.norm(corr[3:]) < sc.max_map_corr_rot)
         )
-        T_w = jnp.where(has_map & ~diag_m.degenerate & map_ok, T_map, T_w)
+        map_applied = has_map & ~diag_m.degenerate & map_ok
+        lm_accept_map = diag_m.lm_accept
+        T_w = jnp.where(map_applied, T_map, T_w)
 
     # 5) Velocity update from the *realized* motion.
     delta_new = se3.log(se3.inv(carry.T_w) @ T_w)
@@ -499,6 +539,10 @@ def step(carry: OdomCarry, scan: jnp.ndarray, scan_mask: jnp.ndarray,
     result = FrameResult(
         T_w=T_w, n_edge=diag.n_edge, n_planar=diag.n_planar,
         cost=diag.cost, degenerate=diag.degenerate,
+        lm_accept=diag.lm_accept, lm_accept_map=lm_accept_map,
+        implausible=implausible, map_applied=map_applied,
+        prior_active=prior_active, n_depth=n_dep,
+        vis_w_scale=w_scale,
     )
     return new_carry, result
 
@@ -544,8 +588,10 @@ def run_sequence_host(frames, cfg: VeloConfig, carry=None, cam=None,
     """
     from velo_tpu.pipeline import checkpoint as ckpt
 
+    diag_keys = [k for k in FrameResult._fields if k != "T_w"]
     skip = 0
-    poses, diags = [], []
+    poses = []
+    diags = {k: [] for k in diag_keys}
     if carry is None:
         carry = init_carry(cfg)
     if resume:
@@ -562,8 +608,11 @@ def run_sequence_host(frames, cfg: VeloConfig, carry=None, cam=None,
                 "rerun from scratch (resume would return a truncated file)"
             )
         poses = list(hist["poses"])
-        diags = list(zip(hist["n_edge"], hist["n_planar"], hist["cost"],
-                         hist["degenerate"]))
+        for k in diag_keys:
+            # Checkpoints written before a diagnostic existed replay as the
+            # field's scan-time default for those frames.
+            diags[k] = (list(hist[k]) if k in hist
+                        else [FrameResult._field_defaults[k]] * len(poses))
     for i, frame in enumerate(frames):
         if i < skip:
             continue
@@ -572,29 +621,18 @@ def run_sequence_host(frames, cfg: VeloConfig, carry=None, cam=None,
         carry, out = jit_step(carry, jnp.asarray(scan), jnp.asarray(mask),
                               cfg, image=image, cam=cam)
         poses.append(np.asarray(out.T_w))
-        diags.append((int(out.n_edge), int(out.n_planar), float(out.cost),
-                      bool(out.degenerate)))
+        for k in diag_keys:
+            diags[k].append(np.asarray(getattr(out, k)))
         if checkpoint_path and checkpoint_every and (
                 (i + 1) % checkpoint_every == 0):
             # jit_step donates the carry, so snapshot via host copy.
-            n_e, n_p, cost, degen = zip(*diags)
+            history = {k: np.asarray(v) for k, v in diags.items()}
+            history["poses"] = np.stack(poses)
             ckpt.save_carry(checkpoint_path,
                             jax.tree.map(np.asarray, carry),
                             frame_idx=i + 1,
-                            history={
-                                "poses": np.stack(poses),
-                                "n_edge": np.asarray(n_e),
-                                "n_planar": np.asarray(n_p),
-                                "cost": np.asarray(cost),
-                                "degenerate": np.asarray(degen),
-                            })
-    n_e, n_p, cost, degen = zip(*diags)
-    return np.stack(poses), {
-        "n_edge": np.asarray(n_e),
-        "n_planar": np.asarray(n_p),
-        "cost": np.asarray(cost),
-        "degenerate": np.asarray(degen),
-    }
+                            history=history)
+    return np.stack(poses), {k: np.asarray(v) for k, v in diags.items()}
 
 
 def velo_to_cam_trajectory(poses_velo: np.ndarray,

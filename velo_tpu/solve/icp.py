@@ -29,6 +29,7 @@ import jax
 import jax.numpy as jnp
 
 from velo_tpu.config import SolverConfig
+from velo_tpu.geom import linalg as lin3
 from velo_tpu.geom import se3
 from velo_tpu.mapping import dense_nn, voxel_hash
 from velo_tpu.mapping.dense_nn import TargetSet, make_targets  # re-export
@@ -46,6 +47,12 @@ class SolveDiag(NamedTuple):
     n_planar: jnp.ndarray
     cost: jnp.ndarray
     degenerate: jnp.ndarray
+    # Total LM steps ACCEPTED across all outer ICP iterations of this solve
+    # (each outer iteration budgets cfg.lm_iters trials).  0 of the budget =
+    # the solve was stuck at its init; the full budget = it never converged.
+    # (Plain-int default: a jnp constant here would force backend init at
+    # import time — every construction site passes it explicitly.)
+    lm_accept: jnp.ndarray | int = 0
 
 
 class VisData(NamedTuple):
@@ -277,45 +284,69 @@ def make_lidar_system(edges, edge_mask, line_a, line_b, line_ok,
             res.robust_cost(rp, cfg.huber_delta_icp, cfg.icp_loss) * okp
         )
 
-        Ha, ga, ca = _vis_prior_terms6(T, cfg, vis, w_prior, prior_inv)
+        Ha, ga, ca = _vis_prior_terms6(T, cfg, vis, w_prior, prior_inv,
+                                       H_obs=H)
         return H + Ha, g + ga, cost + ca
 
     return build
 
 
-def _vis_prior_terms6(T, cfg: SolverConfig, vis, w_prior, prior_inv):
+def _obs_scaled_prior(cfg: SolverConfig, w_prior, r_pr, H_obs):
+    """Anisotropic dead-zone prior in the geometry's observability eigenbasis.
+
+    Each trans/rot 3x3 block of the geometric+visual Hessian is eigen-
+    decomposed (closed form — this runs every LM iteration); along eigen-
+    direction i with relative strength s_i = lam_i/lam_max the prior gets
+
+      weight_i = w_base * (1 + prior_obs_gain * (1 - obs_i))
+      deadzone_i = dz_base * (prior_obs_dz_floor + (1-prior_obs_dz_floor)*obs_i)
+
+    with obs_i = clip(s_i / prior_obs_ref, 0, 1).  Fully-observed directions
+    (obs=1) keep the base weight and dead zone; unobserved ones are pinned
+    to the constant-velocity prediction.  The dead zone is applied per
+    component in the eigenbasis (each eigendirection is an independent
+    pseudo-measurement), vs the isotropic path's radial-norm dead zone.
+    """
+    gain = cfg.prior_obs_gain
+
+    def block(lo, dz_base):
+        B = H_obs[lo:lo + 3, lo:lo + 3]
+        evals, V = lin3.sym_eig3x3(0.5 * (B + B.T))
+        s = evals / jnp.maximum(evals[-1], 1e-12)
+        obs = jnp.clip(s / cfg.prior_obs_ref, 0.0, 1.0)
+        w_i = w_prior[lo] * (1.0 + gain * (1.0 - obs))
+        dz_i = dz_base * (cfg.prior_obs_dz_floor
+                          + (1.0 - cfg.prior_obs_dz_floor) * obs)
+        r_v = V.T @ r_pr[lo:lo + 3]
+        r_eff = r_v - jnp.clip(r_v, -dz_i, dz_i)
+        active = (jnp.abs(r_v) > dz_i).astype(r_v.dtype)
+        # GN with J = V^T (dr_v/dxi of the ~identity prior Jacobian).
+        Hb = (V * (w_i * active)[None, :]) @ V.T
+        gb = V @ (w_i * r_eff)
+        cb = 0.5 * jnp.sum(w_i * r_eff * r_eff)
+        return Hb, gb, cb
+
+    Ht, gt, ct = block(0, cfg.prior_deadzone_trans)
+    Hr, gr, cr = block(3, cfg.prior_deadzone_rot)
+    H = jax.scipy.linalg.block_diag(Ht, Hr)
+    return H, jnp.concatenate([gt, gr]), ct + cr
+
+
+def _vis_prior_terms6(T, cfg: SolverConfig, vis, w_prior, prior_inv,
+                      H_obs=None):
     """6-DoF (H, g, cost) of the visual + motion-prior cost blocks.
 
     Shared by the 6-DoF and the 12-DoF (continuous-time) system builders —
     camera observations are global-shutter, so their Jacobian wrt the sweep
     motion is zero and these blocks only ever touch the pose half.
+    ``H_obs`` is the caller's geometric (LiDAR) Hessian, used only as the
+    observability source for the eigen-scaled prior (prior_obs_gain > 0);
+    the visual blocks computed here are added to it first so vision-
+    constrained directions count as observed.
     """
     H = jnp.zeros((6, 6), T.dtype)
     g = jnp.zeros((6,), T.dtype)
     cost = jnp.zeros((), T.dtype)
-
-    if w_prior is not None:
-        # Dead-zone prior: deviations within the physical acceleration
-        # range cost nothing (a quadratic prior measurably *drags* the
-        # solve against real turns: mean -0.4 deg/frame yaw error during
-        # sustained yaw ramps); only the excess beyond the dead zone is
-        # penalized, so the prior is purely a tail-container.
-        # J = dlog(exp(xi) T prior^-1)/dxi ~ I for the small per-frame
-        # deviations the prior is meant to bound.
-        r_pr = se3.log(T @ prior_inv)
-
-        def _dz(r3, dz):
-            n = jnp.linalg.norm(r3)
-            scale = jnp.maximum(0.0, 1.0 - dz / jnp.maximum(n, 1e-9))
-            return r3 * scale, (n > dz).astype(r3.dtype)
-
-        r_t, a_t = _dz(r_pr[:3], cfg.prior_deadzone_trans)
-        r_r, a_r = _dz(r_pr[3:], cfg.prior_deadzone_rot)
-        r_eff = jnp.concatenate([r_t, r_r])
-        active = jnp.concatenate([jnp.full(3, a_t), jnp.full(3, a_r)])
-        H = H + jnp.diag(w_prior * active)
-        g = g + w_prior * r_eff
-        cost = cost + 0.5 * jnp.sum(w_prior * r_eff * r_eff)
 
     if vis is not None:
         # Reprojection term: r = pi(P, T_cv T^-1 X_prev) - obs, with the
@@ -374,6 +405,33 @@ def _vis_prior_terms6(T, cfg: SolverConfig, vis, w_prior, prior_inv):
         cost = cost + cfg.epi_weight * jnp.sum(
             res.huber_cost(re_, cfg.huber_delta_repr) * oke_
         )
+
+    if w_prior is not None:
+        # Dead-zone prior: deviations within the physical acceleration
+        # range cost nothing (a quadratic prior measurably *drags* the
+        # solve against real turns: mean -0.4 deg/frame yaw error during
+        # sustained yaw ramps); only the excess beyond the dead zone is
+        # penalized, so the prior is purely a tail-container.
+        # J = dlog(exp(xi) T prior^-1)/dxi ~ I for the small per-frame
+        # deviations the prior is meant to bound.
+        r_pr = se3.log(T @ prior_inv)
+        if cfg.prior_obs_gain > 0.0:
+            base = H if H_obs is None else H_obs + H
+            Hp, gp, cp = _obs_scaled_prior(cfg, w_prior, r_pr, base)
+            H, g, cost = H + Hp, g + gp, cost + cp
+        else:
+            def _dz(r3, dz):
+                n = jnp.linalg.norm(r3)
+                scale = jnp.maximum(0.0, 1.0 - dz / jnp.maximum(n, 1e-9))
+                return r3 * scale, (n > dz).astype(r3.dtype)
+
+            r_t, a_t = _dz(r_pr[:3], cfg.prior_deadzone_trans)
+            r_r, a_r = _dz(r_pr[3:], cfg.prior_deadzone_rot)
+            r_eff = jnp.concatenate([r_t, r_r])
+            active = jnp.concatenate([jnp.full(3, a_t), jnp.full(3, a_r)])
+            H = H + jnp.diag(w_prior * active)
+            g = g + w_prior * r_eff
+            cost = cost + 0.5 * jnp.sum(w_prior * r_eff * r_eff)
     return H, g, cost
 
 
@@ -410,7 +468,7 @@ def solve_scan_to_scan(
                       cfg, cands=planar_cands)
 
     def outer_body(_, carry):
-        T, _diag = carry
+        T, prev_diag = carry
         pe = se3.apply(T[None], cur_edges[None])[0]
         a, b, e_ok = _edge_lines_2pt(eq, pe, cur_edge_mask)
         pp = se3.apply(T[None], cur_planars[None])[0]
@@ -428,12 +486,14 @@ def solve_scan_to_scan(
         T_new, st = lm_solve(build, T, cfg)
         T_out = jnp.where(enough, T_new, T)
         diag = SolveDiag(n_edge=n_e, n_planar=n_p, cost=st.cost,
-                         degenerate=~enough)
+                         degenerate=~enough,
+                         lm_accept=prev_diag.lm_accept + st.n_accept)
         return (T_out, diag)
 
     diag0 = SolveDiag(
         n_edge=jnp.int32(0), n_planar=jnp.int32(0),
         cost=jnp.float32(0.0), degenerate=jnp.asarray(False),
+        lm_accept=jnp.int32(0),
     )
     T_fin, diag = jax.lax.fori_loop(0, outer, outer_body, (T_init, diag0))
     return T_fin, diag
@@ -461,7 +521,7 @@ def solve_scan_to_map(
                       cfg)
 
     def outer_body(_, carry):
-        T, _diag = carry
+        T, prev_diag = carry
         pe = se3.apply(T[None], cur_edges[None])[0]
         e_nbr, _, _, e_val = eq(pe, cur_edge_mask, k)
         mu, direction, l_ok, e_q = res.fit_line_eig(e_nbr, e_val)
@@ -486,12 +546,14 @@ def solve_scan_to_map(
         T_new, st = lm_solve(build, T, cfg)
         T_out = jnp.where(enough, T_new, T)
         diag = SolveDiag(n_edge=n_e, n_planar=n_p, cost=st.cost,
-                         degenerate=~enough)
+                         degenerate=~enough,
+                         lm_accept=prev_diag.lm_accept + st.n_accept)
         return (T_out, diag)
 
     diag0 = SolveDiag(
         n_edge=jnp.int32(0), n_planar=jnp.int32(0),
         cost=jnp.float32(0.0), degenerate=jnp.asarray(False),
+        lm_accept=jnp.int32(0),
     )
     T_fin, diag = jax.lax.fori_loop(0, outer, outer_body, (T_init, diag0))
     return T_fin, diag
@@ -574,7 +636,8 @@ def make_lidar_system_ct(edges_base, edge_phase, edge_mask,
         g = g + Jc.T @ (w_couple * r_c)
         cost = cost + 0.5 * jnp.sum(w_couple * r_c * r_c)
 
-        Ha, ga, ca = _vis_prior_terms6(T, cfg, vis, w_prior, prior_inv)
+        Ha, ga, ca = _vis_prior_terms6(T, cfg, vis, w_prior, prior_inv,
+                                       H_obs=H[:6, :6])
         H = H.at[:6, :6].add(Ha)
         g = g.at[:6].add(ga)
         return H, g, cost + ca
@@ -618,7 +681,7 @@ def solve_scan_to_scan_ct(
                       cfg, cands=planar_cands)
 
     def outer_body(_, carry):
-        T, xi2, _diag = carry
+        T, xi2, prev_diag = carry
         e_cur = deskew_mod.redeskew(edges_base, edge_phase, xi_ref, xi2)
         e_cur = jnp.where(edge_mask[:, None], e_cur, 0.0)
         pe = se3.apply(T[None], e_cur[None])[0]
@@ -643,12 +706,14 @@ def solve_scan_to_scan_ct(
         T_out = jnp.where(enough, T_new, T)
         xi2_out = jnp.where(enough, xi2_new, xi2)
         diag = SolveDiag(n_edge=n_e, n_planar=n_p, cost=st.cost,
-                         degenerate=~enough)
+                         degenerate=~enough,
+                         lm_accept=prev_diag.lm_accept + st.n_accept)
         return (T_out, xi2_out, diag)
 
     diag0 = SolveDiag(
         n_edge=jnp.int32(0), n_planar=jnp.int32(0),
         cost=jnp.float32(0.0), degenerate=jnp.asarray(False),
+        lm_accept=jnp.int32(0),
     )
     T_fin, xi2_fin, diag = jax.lax.fori_loop(
         0, outer, outer_body, (T_init, xi_ref, diag0))

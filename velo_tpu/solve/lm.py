@@ -29,6 +29,9 @@ class LMState(NamedTuple):
     cost: jnp.ndarray  # cost at T
     converged: jnp.ndarray  # bool mask: stop updating (delta below tol)
     last_delta: jnp.ndarray  # |delta| of the last accepted step
+    n_accept: jnp.ndarray  # int32: accepted steps (iterations-to-converge
+    # observability — SURVEY.md §5 metrics row; a solve that accepts 0 of
+    # its budget was stuck, one that accepts all of it never converged)
 
 
 def lm_solve(
@@ -97,6 +100,7 @@ def lm_solve(
             cost=jnp.where(accept, cost_try, cost),
             converged=converged,
             last_delta=jnp.where(accept, step, st.last_delta),
+            n_accept=st.n_accept + accept.astype(jnp.int32),
         )
 
     init = LMState(
@@ -105,6 +109,7 @@ def lm_solve(
         cost=cost_only(T0),
         converged=jnp.asarray(False),
         last_delta=jnp.asarray(jnp.inf, T0.dtype),
+        n_accept=jnp.int32(0),
     )
     # Unrolled: each XLA while iteration costs ~30 us of loop bookkeeping on
     # TPU (device trace: 1.8 ms/frame across the ~52 LM trips of a full
@@ -123,6 +128,7 @@ class LMStateCT(NamedTuple):
     lam: jnp.ndarray
     cost: jnp.ndarray
     converged: jnp.ndarray
+    n_accept: jnp.ndarray  # int32 accepted steps (see LMState.n_accept)
 
 
 def lm_solve_ct(
@@ -172,6 +178,7 @@ def lm_solve_ct(
                           jnp.clip(lam_new, 1e-9, 1e6)),
             cost=jnp.where(accept, cost_try, cost),
             converged=st.converged | (accept & (step < cfg.converge_tol)),
+            n_accept=st.n_accept + accept.astype(jnp.int32),
         )
 
     st = LMStateCT(
@@ -179,6 +186,7 @@ def lm_solve_ct(
         lam=jnp.asarray(cfg.lm_lambda_init, T0.dtype),
         cost=cost_only(T0, xi2_0),
         converged=jnp.asarray(False),
+        n_accept=jnp.int32(0),
     )
     for _ in range(iters):
         st = body(st)
