@@ -64,6 +64,11 @@ import numpy as np  # noqa: E402
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# Fixture generation rides the accelerator (same process, same device —
+# runs before any timed section): ~100x faster than the numpy raycast on
+# this 1-core host.  Opt out with VELO_FIX_ACCEL=0.
+os.environ.setdefault("VELO_FIX_ACCEL", "1")
+
 import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 
@@ -157,6 +162,14 @@ def bench_mode(mode):
         cfg = apply_overrides(cfg, os.environ["VELO_BENCH_OVERRIDES"])
     scans_np, masks_np, images_np, P, T_cam_velo = get_frames(
         cfg, fused, cache_path(mode))
+    # Fixture generation above is host/device compute, not tunnel-liveness
+    # signal — on a cold cache it alone can exceed the mode deadline (the
+    # fused 60-frame render costs many minutes on a 1-core host without
+    # VELO_FIX_ACCEL).  Restart the clock for the part the watchdog is
+    # actually guarding: compile + device execution.
+    with _PARTIAL_LOCK:
+        _MODE_DEADLINE[0] = time.monotonic() + float(
+            os.environ.get("VELO_BENCH_MODE_TIMEOUT", "900"))
     scans = jnp.asarray(scans_np)
     masks = jnp.asarray(masks_np)
     images = jnp.asarray(images_np, jnp.float32) if fused else None
