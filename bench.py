@@ -181,10 +181,10 @@ def bench_mode(mode):
 
     # Tile the frame block: the axon tunnel adds a large fixed cost per
     # execute (50-300 ms with random spikes), so the dispatch must be long
-    # enough to amortize it — KITTI seq 00 is 4541 frames, so a 240-frame
-    # device-resident dispatch is still conservative for the production
-    # serving shape.
-    reps = max(1, 240 // N_FRAMES)
+    # enough to amortize it — KITTI seq 00 is 4541 frames, so even a
+    # 480-frame device-resident dispatch is conservative for the production
+    # serving shape.  VELO_BENCH_FRAMES sets the dispatch length.
+    reps = max(1, int(os.environ.get("VELO_BENCH_FRAMES", "240")) // N_FRAMES)
     scans = jnp.concatenate([scans] * reps)
     masks = jnp.concatenate([masks] * reps)
     if fused:

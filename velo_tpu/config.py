@@ -67,9 +67,11 @@ class VisionConfig:
     # iterations of the forward pass (which must converge to sub-pixel)
     # keeps the gate's discrimination at ~half its cost (A/B'd on the
     # 150-frame fused fixtures: drift unchanged vs fb-iters=8)
-    klt_impl: str = "auto"  # patch sampling: "auto" (local-window matmuls
-    # on TPU, gather elsewhere) | "window" | "matmul" | "gather" — forced
-    # values are for testing
+    klt_impl: str = "auto"  # patch sampling: "auto" (global selection
+    # matmuls on TPU, gather elsewhere) | "pallas" (fused level-0 kernel —
+    # per-track VMEM blocks, in-kernel Scharr, roll-based VPU bilinear;
+    # coarse levels stay on the matmul path) | "window" | "matmul" |
+    # "gather" — forced values are for testing/sweeps
     klt_dtype: str = "bf16"  # matmul-path operand dtype: "bf16" (1-pass
     # MXU; quantization ~4e-3 intensity, far below tracking noise) | "f32"
     klt_win_slack: int = 8  # window-impl per-level flow budget (px): the

@@ -143,6 +143,22 @@ def _track_level(img_prev, gx_prev, gy_prev, img_cur, uv_prev, uv_cur,
         # utilization and lose more to per-op overhead than they save in
         # FLOPs.  "window" stays available for sweeping.
         impl = "matmul" if jax.default_backend() == "tpu" else "gather"
+    if impl == "pallas":
+        # Fused level-0 kernel: per-track VMEM blocks, in-kernel Scharr,
+        # roll-based bilinear sampling on the VPU (pallas/klt_l0.py).  Only
+        # the full-resolution level qualifies (it carries ~3/4 of the KLT
+        # cost; coarse levels stay on the matmul path), and only when the
+        # block geometry fits the image.
+        H, W = img_cur.shape
+        from velo_tpu.pallas import klt_l0
+
+        if (H, W) == img_prev.shape and W % 128 == 0 and W >= klt_l0.BW \
+                and H >= klt_l0.CB_R and (H, W) == (cfg.height, cfg.width):
+            return klt_l0.track_level0(
+                img_prev, img_cur, uv_prev, uv_cur, cfg,
+                cfg.klt_iters if iters is None else iters,
+                interpret=jax.default_backend() != "tpu")
+        impl = "matmul" if jax.default_backend() == "tpu" else "gather"
     if impl == "window":
         return _track_level_window(img_prev, gx_prev, gy_prev, img_cur,
                                    uv_prev, uv_cur, cfg)
