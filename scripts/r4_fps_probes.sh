@@ -26,6 +26,8 @@ probe() {
 
 # Candidate ladder at shipped accuracy defaults unless tagged otherwise.
 probe fb2            VELO_BENCH_MODE=fused VELO_BENCH_OVERRIDES="v:fb_levels=2"
+probe pallas         VELO_BENCH_MODE=fused VELO_BENCH_OVERRIDES="v:klt_impl=pallas"
+probe pallas_fb2     VELO_BENCH_MODE=fused VELO_BENCH_OVERRIDES="v:klt_impl=pallas+fb_levels=2"
 probe disp480        VELO_BENCH_MODE=fused VELO_BENCH_FRAMES=480
 probe fb2_disp480    VELO_BENCH_MODE=fused VELO_BENCH_FRAMES=480 VELO_BENCH_OVERRIDES="v:fb_levels=2"
 probe klt6           VELO_BENCH_MODE=fused VELO_BENCH_OVERRIDES="v:klt_iters=6"

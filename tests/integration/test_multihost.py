@@ -119,9 +119,12 @@ def test_two_process_multihost_matches_single(tmp_path):
     # reference, and the ICP accept gates amplify that; ~1 cm agreement is
     # the same envelope as the recorded CPU<->TPU parity (PARITY.json).
     # The prebin grid layout measured 2.3 cm worst-element (1/384, rest
-    # within 2 cm) from the same mechanism — 4 cm bounds it with margin
-    # while still catching any real sharding/layout bug (those are gross).
-    np.testing.assert_allclose(got, ref_poses, atol=4e-2)
+    # within 2 cm) from the same mechanism; after the sweep-seam curvature
+    # fix (fewer redundant constraints on these tiny 16x256 scans) the
+    # worst element is 5.7 cm, still 1/384 with the rest within 2 cm.
+    # 8 cm bounds the chaos envelope while still catching any real
+    # sharding/layout bug (those are gross — whole-trajectory failures).
+    np.testing.assert_allclose(got, ref_poses, atol=8e-2)
     # Both processes agree on the replicated cross-host collective.
     assert np.isclose(float(w0["gcost"]), float(w1["gcost"]), rtol=1e-5)
     assert np.isclose(float(w0["gcost"]), float(ref_diag["cost"].mean()),

@@ -76,7 +76,7 @@ def test_masked_points_ignored():
     np.testing.assert_allclose(np.asarray(a.xyz), np.asarray(b.xyz))
 
 
-def numpy_curvature(xyz, valid, h):
+def numpy_curvature(xyz, valid, h, phase=None):
     """Slow reference implementation of ring curvature."""
     R, W, _ = xyz.shape
     curv = np.zeros((R, W))
@@ -88,6 +88,12 @@ def numpy_curvature(xyz, valid, h):
             idx = [(c + j) % W for j in range(-h, h + 1) if j != 0]
             if not all(valid[r, i] for i in idx):
                 continue
+            if phase is not None:
+                # Sweep-seam rule: windows whose phase span exceeds half a
+                # sweep mix points ~0.1 s apart and are not scored.
+                win_ph = [phase[r, i] for i in idx] + [phase[r, c]]
+                if max(win_ph) - min(win_ph) > 0.5:
+                    continue
             A = np.mean([xyz[r, (c - j) % W] for j in range(1, h + 1)], axis=0)
             B = np.mean([xyz[r, (c + j) % W] for j in range(1, h + 1)], axis=0)
             u = B - A
@@ -106,7 +112,8 @@ def test_curvature_vs_numpy_reference():
                                       jnp.asarray(ph), cfg)
     cr = curvature.compute_curvature(ri, cfg)
     ref_c, ref_s = numpy_curvature(
-        np.asarray(ri.xyz), np.asarray(ri.valid), cfg.curvature_halfwin
+        np.asarray(ri.xyz), np.asarray(ri.valid), cfg.curvature_halfwin,
+        phase=np.asarray(ri.phase),
     )
     np.testing.assert_array_equal(np.asarray(cr.scored), ref_s)
     np.testing.assert_allclose(
@@ -350,3 +357,30 @@ def test_prebin_pipeline_matches_raw_pipeline():
     # Identical except for ring-boundary winner flips under motion.
     np.testing.assert_allclose(pre_poses[:, :3, 3], raw_poses[:, :3, 3],
                                atol=0.03)
+
+
+def test_seam_windows_not_scored():
+    """Curvature windows crossing the sweep seam are excluded (the column
+    order there no longer matches spatial order once the sensor moves —
+    measured 20-30x inflated curvature medians, above the edge gate)."""
+    from velo_tpu.io import fixtures, kitti
+    from velo_tpu.lidar import rangeimage as ri_mod
+
+    cfg = small_cfg()
+    fx = fixtures.make_fixture(n_frames=1, n_rings=cfg.n_rings,
+                               n_azimuth=cfg.n_azimuth, with_images=False,
+                               seed=4, speed=8.0)
+    grid, valid = ri_mod.bin_scan_host(fx.scans[0], cfg)
+    xi = jnp.asarray([0.8, 0.02, 0.0, 0.0, 0.0, 0.01], jnp.float32)
+    ri = ri_mod.range_image_from_grid(jnp.asarray(grid), jnp.asarray(valid),
+                                      xi, cfg)
+    cr = curvature.compute_curvature(ri, cfg)
+    scored = np.asarray(cr.scored)
+    ph = np.asarray(ri.phase)
+    h = cfg.curvature_halfwin
+    # Direct property: no scored window spans the wrap.
+    for r, c in zip(*np.where(scored)):
+        win = [ph[r, (c + j) % cfg.n_azimuth] for j in range(-h, h + 1)]
+        assert max(win) - min(win) <= 0.5, (r, c)
+    # And plenty of mid-sweep cells still score.
+    assert scored.sum() > 0.5 * np.asarray(ri.valid).sum()

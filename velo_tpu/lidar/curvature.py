@@ -66,6 +66,25 @@ def compute_curvature(ri: RangeImage, cfg: LidarConfig) -> CurvatureResult:
 
     safe_r = jnp.where(rng > 1e-6, rng, 1.0)
     scored = valid & all_valid
+
+    # Sweep-seam exclusion: a curvature window that crosses the sweep wrap
+    # mixes points captured ~0.1 s apart.  Deskew corrects their positions,
+    # but the RAW-azimuth column order near the seam no longer matches the
+    # spatial order (the sensor moved ~0.8 m at 8 m/s), so the chord fit is
+    # scrambled — measured 20-30x inflated curvature medians in the ±h seam
+    # band on BOTH grid layouts, with p95 above the edge gate: fake edge
+    # features dead ahead (az_start=0) every frame.  Classic LOAM marks the
+    # first/last h points of every scan line unpickable for the same
+    # reason; the wrap-around roll formulation silently lost that.  A
+    # window "crosses" when its phase span exceeds half a sweep.
+    ph = ri.phase
+    ph_min, ph_max = ph, ph
+    for j in range(1, h + 1):
+        ph_min = jnp.minimum(jnp.minimum(ph_min, _roll_w(ph, j)),
+                             _roll_w(ph, -j))
+        ph_max = jnp.maximum(jnp.maximum(ph_max, _roll_w(ph, j)),
+                             _roll_w(ph, -j))
+    scored = scored & ((ph_max - ph_min) <= 0.5)
     curv = jnp.where(scored, curv, 0.0)
 
     # Occlusion: a big range jump between neighbors means the far-side points
