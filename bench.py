@@ -184,7 +184,7 @@ def bench_mode(mode):
     # enough to amortize it — KITTI seq 00 is 4541 frames, so even a
     # 480-frame device-resident dispatch is conservative for the production
     # serving shape.  VELO_BENCH_FRAMES sets the dispatch length.
-    reps = max(1, int(os.environ.get("VELO_BENCH_FRAMES", "240")) // N_FRAMES)
+    reps = max(1, int(os.environ.get("VELO_BENCH_FRAMES", "480")) // N_FRAMES)
     scans = jnp.concatenate([scans] * reps)
     masks = jnp.concatenate([masks] * reps)
     if fused:

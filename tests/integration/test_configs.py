@@ -145,11 +145,19 @@ def test_vision_wins_in_degenerate_corridor():
         with_images=True, speed=8.0, seed=11, world=world,
         yaw_rate=0.0, wiggle_scale=0.0,
     )
+    # prior_obs_gain pinned OFF: this fixture drives at exactly constant
+    # velocity, so the shipped obs-scaled prior pins the LiDAR-unobserved
+    # forward DoF to a prediction that happens to be exactly right and the
+    # LiDAR-only arm "wins" by oracle prior, not by sensing.  The claim
+    # under test is that the CAMERA recovers forward scale where LiDAR
+    # geometry cannot; test it against the unpinned solver.
+    from velo_tpu.config import SolverConfig
     cfg_kw = dict(
         lidar=LidarConfig(n_rings=RINGS, n_azimuth=AZ),
         vision=VisionConfig(height=128, width=384, k_tracks=128,
                             grid_cols=24),
         map=MapConfig(edge_capacity=8192, planar_capacity=16384),
+        solver=SolverConfig(prior_obs_gain=0.0),
         n_max_points=RINGS * AZ,
         use_map=True,
     )

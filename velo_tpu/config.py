@@ -81,13 +81,14 @@ class VisionConfig:
     max_track_residual: float = 1e9  # mean |patch residual| appearance gate
     # (cv2's `err` analog; intensity units on [0,1] images, ~0.05-0.1
     # typical).  >=1e8 disables the gate and its two extra patch samples.
-    fb_levels: int = 4  # pyramid levels of the backward FB pass (finest-n,
+    fb_levels: int = 2  # pyramid levels of the backward FB pass (finest-n,
     # initialized at the expected position; >= pyr_levels for the classic
-    # full uninitialized backward track).  Default = full: the fb_levels=1
-    # shortcut cost ~2 fused fps but admitted locally-self-similar wrong
-    # matches whose depth residuals dragged the solve — long-fixture fused
-    # drift regressed 0.74 -> 1.60 %/100m (seeds 0/2/4 means) and recovered
-    # to 0.90 when the full backward track was restored (round-3 A/B).
+    # full uninitialized backward track).  fb_levels=1 admitted locally-
+    # self-similar wrong matches whose depth residuals dragged the solve
+    # (round-3 full-scale A/B: fused drift 0.74 -> 1.60 %/100m); 2 levels
+    # restore the discrimination — round-4 full-scale 5-seed A/B on the
+    # seam-fixed pipeline measured fused planar 0.987 %/100m at fb_levels=2
+    # vs 1.129 at fb_levels=4, and 103.7 vs 100.7 fused fps.
     min_corner_response: float = 1e-4
     depth_grid_cell: int = 4  # pixel bucket size for LiDAR depth association
     depth_search_cells: int = 1  # bucket search radius: (2s+1)^2 neighborhood
@@ -191,7 +192,11 @@ class SolverConfig:
     # solve moves only ~W_L/(W_L+W_P) of the way toward the biased answer —
     # while fully-observed directions keep their tuned behavior.  gain=0
     # disables (zero-cost static branch).
-    prior_obs_gain: float = 0.0
+    prior_obs_gain: float = 4.0  # round-4 full-scale 5-seed A/Bs (seam-
+    # fixed pipeline): planar LiDAR 0.885 vs 1.119 %/100m, 6-DoF 2.416 vs
+    # 2.999, fused planar 1.007 vs 1.129, suburban neutral (0.651 both) —
+    # wins or ties every family, and mean rotation drift improves too
+    # (planar 1.29 vs 1.96 deg/100m).  Set 0.0 to disable (static branch).
     prior_obs_ref: float = 0.05
     prior_obs_dz_floor: float = 0.25
     # Continuous-time sweep solve (12 DoF): jointly estimate the current

@@ -206,8 +206,12 @@ def track_level0(prev_img, cur_img, uv_prev, uv_cur, cfg, iters,
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=[
-            pl.BlockSpec((1, 2), lambda k, org, uvf: (k, 0)),
-            pl.BlockSpec((1, 1), lambda k, org, uvf: (k, 0)),
+            # Scalar per-track results live in SMEM: a (1, 2) f32 block in
+            # VMEM would violate the Mosaic (8, 128) vector-tiling rule.
+            pl.BlockSpec((1, 2), lambda k, org, uvf: (k, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), lambda k, org, uvf: (k, 0),
+                         memory_space=pltpu.SMEM),
         ],
         scratch_shapes=[
             pltpu.VMEM((2, PB_R, BW), jnp.float32),
