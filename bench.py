@@ -215,6 +215,13 @@ def bench_mode(mode):
         carry, out = run(*args())
         jax.block_until_ready(out.T_w)
         best = min(best, time.perf_counter() - t0)
+        # Refine the partial record after EVERY rep: the first timed rep
+        # lands seconds after warmup, so a wedge/deadline anywhere in the
+        # best-of-8 loop (or in a later mode) still yields a provisional
+        # fps for this mode instead of rc=2 with nothing (BENCH_r04's
+        # failure shape).
+        with _PARTIAL_LOCK:
+            _PARTIAL_FPS[mode] = n_total / best
     return n_total / best
 
 
@@ -254,17 +261,31 @@ def main():
     modes = ["lidar", "fused"] if MODE == "both" else [MODE]
     per_mode = float(os.environ.get("VELO_BENCH_MODE_TIMEOUT", "900"))
     threading.Thread(target=_mode_watchdog, daemon=True).start()
+    failed = False
     for m in modes:
         with _PARTIAL_LOCK:
             _MODE_DEADLINE[0] = time.monotonic() + per_mode
-        v = bench_mode(m)
+        try:
+            v = bench_mode(m)
+        except Exception as e:  # e.g. a kernel lowering error under an
+            # experimental VELO_BENCH_OVERRIDES config: the OTHER mode's
+            # (or this mode's provisional) fps must still reach the
+            # artifact instead of propagating to rc!=0 with no record.
+            failed = True
+            print(f"bench: mode {m} failed: {e!r}", file=sys.stderr)
+            continue
         with _PARTIAL_LOCK:
             _PARTIAL_FPS[m] = v
     _ALL_DONE.set()
     # Headline = the fused (vision-enhanced, config-4) pipeline when
     # measured — that is the north-star workload; the LiDAR-only number
     # rides along as an extra key either way.
-    _emit_record(dict(_PARTIAL_FPS), partial=False)
+    if _PARTIAL_FPS:
+        # rc=0 whenever a record was emitted (matching the watchdog's
+        # partial-emit path): the JSON line itself carries partial=True.
+        _emit_record(dict(_PARTIAL_FPS), partial=failed)
+    else:
+        sys.exit(2)
 
 
 if __name__ == "__main__":

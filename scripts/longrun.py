@@ -34,6 +34,20 @@ def get_fixture(frames, rings, az, seed=0, distorted=True,
         tag += "_6dof"
     if world != "canyon":
         tag += f"_{world}"
+    # The GENERATOR is part of the cache key: the JAX-accelerated raycaster
+    # (VELO_FIX_ACCEL=1) matches the numpy reference only to f32 tolerance
+    # (up to 0.1 % of points differ), and 150 frames of odometry on a
+    # chaotically-sensitive fixture amplify that into ±1-2 %/100m drift
+    # differences.  Round 4's "same SHA, different results" mystery was two
+    # generators silently sharing one cache file across rounds — never let
+    # an accel-generated fixture masquerade as the numpy one or vice versa.
+    if os.environ.get("VELO_FIX_ACCEL") == "1":
+        import jax
+
+        # Backend-qualified: the accel raycast's f32 argmins can resolve
+        # differently on TPU vs CPU, so the realization is (generator,
+        # backend)-specific.
+        tag += f"_accel-{jax.default_backend()}"
     cache = f"/tmp/velo_longrun_{frames}_{rings}_{az}_{seed}{tag}.npz"
     from velo_tpu.io import fixtures, kitti
 
@@ -161,6 +175,13 @@ def main():
     ap.add_argument("--world", default="canyon",
                     choices=("canyon", "suburban"),
                     help="world family (suburban = held-out terraced suburb)")
+    ap.add_argument("--trail", default=None,
+                    help="append result rows + run metadata to this JSONL "
+                    "drift trail (the full-scale TPU revalidation queue "
+                    "writes DRIFT_TRAIL.jsonl at the repo root, which CI "
+                    "asserts against — the automated full-scale regression "
+                    "net, since CI-scale fixtures diverge qualitatively "
+                    "from full scale post-seam-fix)")
     args = ap.parse_args()
 
     import jax
@@ -168,6 +189,26 @@ def main():
 
     from velo_tpu.evaluation import kitti_metric
     from velo_tpu.pipeline import odometry
+
+    trail_meta = None
+    if args.trail:
+        import subprocess
+
+        sha = subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"], capture_output=True,
+            text=True, cwd=os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__)))).stdout.strip()
+        trail_meta = dict(
+            sha=sha or "unknown",
+            frames=args.frames, rings=args.rings, azimuth=args.azimuth,
+            world=args.world, sixdof=args.sixdof, vision=args.vision,
+            noise=args.noise, dropout=args.dropout, prebin=args.prebin,
+            generator=(f"accel-{jax.default_backend()}"
+                       if os.environ.get("VELO_FIX_ACCEL") == "1"
+                       else "numpy"),
+            platform=jax.default_backend(),
+            ts=time.strftime("%Y-%m-%dT%H:%M:%S"),
+        )
 
     rows = []
     for seed in [int(s) for s in args.seeds.split(",")]:
@@ -273,6 +314,9 @@ def main():
             row, rel, rot = metrics_row(name, poses_velo, dt)
             rows.append(row)
             print(json.dumps(row))
+            if trail_meta is not None:
+                with open(args.trail, "a") as f:
+                    f.write(json.dumps(dict(row, **trail_meta)) + "\n")
             if args.smooth:
                 from velo_tpu.pipeline import smoother
 

@@ -21,6 +21,11 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+# CI drift pins are recorded against numpy-generated fixtures; an inherited
+# VELO_FIX_ACCEL=1 would silently flip the generator (f32-tolerance-different
+# realizations => different chaotic tails) under the pinned thresholds.
+os.environ.pop("VELO_FIX_ACCEL", None)
+
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")

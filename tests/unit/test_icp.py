@@ -339,3 +339,54 @@ def test_obs_scaled_prior_keeps_observed_directions_free():
     np.testing.assert_allclose(np.asarray(g), 0.0, atol=1e-9)
     np.testing.assert_allclose(np.asarray(H), 0.0, atol=1e-9)
     assert float(c) == 0.0
+
+
+def test_obs_prior_staged_basis_matches_dynamic_at_linearization():
+    """The production solvers freeze the observability basis once per outer
+    ICP iteration (ObsBasis — the round-4 in-loop eigendecomposition cost
+    31-38 % throughput).  At the linearization point itself the frozen-basis
+    system must equal the dynamic-basis system bit-for-bit in structure:
+    same H, g, cost.  Uses anisotropic geometry so the eigenbasis is
+    nontrivial, plus a prior deviation large enough to clear the dead zone.
+    """
+    rng = np.random.default_rng(7)
+    n = 200
+    pts = rng.uniform(-10, 10, (n, 3)).astype(np.float32)
+    # Anisotropic normals: strong y, weak x, medium z.
+    raw = rng.normal(0, 1, (n, 3)).astype(np.float32)
+    raw[:, 0] *= 0.05
+    raw[:, 2] *= 0.4
+    nrm = raw / np.linalg.norm(raw, axis=1, keepdims=True)
+    d = -(nrm * pts).sum(1)
+    planars = jnp.asarray(pts)
+    pl_n = jnp.asarray(nrm)
+    pl_d = jnp.asarray(d.astype(np.float32))
+    ok = jnp.ones(n, bool)
+    edges = jnp.zeros((4, 3), jnp.float32)
+    e_ok = jnp.zeros(4, bool)
+
+    cfg = SolverConfig(prior_obs_gain=4.0)
+    prior_T = se3.identity()
+    # Linearization point well away from the prior => dead zone cleared.
+    T_lin = se3.exp(jnp.asarray([0.4, -0.3, 0.2, 0.03, -0.02, 0.04],
+                                jnp.float32))
+
+    args = (edges, e_ok, edges, edges + 1.0, e_ok,
+            planars, ok, pl_n, pl_d, ok, cfg)
+    build_dyn = icp.make_lidar_system(*args, prior_T=prior_T)
+    build_nop = icp.make_lidar_system(*args)
+    w_pr, _ = icp._prior_weights(cfg, prior_T, None)
+    basis = icp.obs_prior_basis(cfg, w_pr, build_nop(T_lin)[0])
+    build_frz = icp.make_lidar_system(*args, prior_T=prior_T,
+                                      obs_basis=basis)
+
+    Hd, gd, cd = build_dyn(T_lin)
+    Hf, gf, cf = build_frz(T_lin)
+    np.testing.assert_allclose(np.asarray(Hf), np.asarray(Hd), rtol=1e-6,
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gf), np.asarray(gd), rtol=1e-6,
+                               atol=1e-4)
+    np.testing.assert_allclose(float(cf), float(cd), rtol=1e-6)
+    # And the prior is genuinely active at this point (non-trivial terms).
+    Hn, gn, cn = build_nop(T_lin)
+    assert float(cd) > float(cn)

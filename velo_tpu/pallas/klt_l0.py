@@ -34,8 +34,12 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-PB_R = 24   # template block rows: support is floor(y)+[-h-1, h+2] = 20 rows
-CB_R = 40   # current block rows: patch support + ~±11 rows of GN slack
+PB_R = 32   # template block rows: support is 18 rows (bilinear + Scharr),
+# block origin is 8-row aligned (Mosaic requires HBM DMA slice starts
+# divisible by the (8, 128) tile) so the origin floats up to 7 rows high —
+# 32 rows keep >=6 rows of margin below the support in the worst case.
+CB_R = 48   # current block rows: patch support + >=±12 rows of GN slack
+# at the worst 8-aligned origin.
 BW = 384    # block width (3 lane tiles): 128-aligned origin, >=119 px slack
 
 
@@ -88,14 +92,17 @@ def _kernel(org_ref, uvf_ref, prev_hbm, cur_hbm, uv_out, ok_out,
     nslot = jnp.mod(k + 1, 2)
 
     def copies(i, s):
+        # org_ref holds TILE indices (rows/8, cols/128): Mosaic must *prove*
+        # the HBM slice start divisible by the (8, 128) tile, and a runtime
+        # value only carries that proof as an explicit multiply-by-constant.
         return (
             pltpu.make_async_copy(
-                prev_hbm.at[pl.ds(org_ref[i, 0], PB_R),
-                            pl.ds(org_ref[i, 1], BW)],
+                prev_hbm.at[pl.ds(org_ref[i, 0] * 8, PB_R),
+                            pl.ds(org_ref[i, 1] * 128, BW)],
                 pblk.at[s], sem.at[s, 0]),
             pltpu.make_async_copy(
-                cur_hbm.at[pl.ds(org_ref[i, 2], CB_R),
-                           pl.ds(org_ref[i, 3], BW)],
+                cur_hbm.at[pl.ds(org_ref[i, 2] * 8, CB_R),
+                           pl.ds(org_ref[i, 3] * 128, BW)],
                 cblk.at[s], sem.at[s, 1]),
         )
 
@@ -118,10 +125,10 @@ def _kernel(org_ref, uvf_ref, prev_hbm, cur_hbm, uv_out, ok_out,
 
     xp = uvf_ref[k, 0]
     yp = uvf_ref[k, 1]
-    pry = org_ref[k, 0].astype(jnp.float32)
-    prx = org_ref[k, 1].astype(jnp.float32)
-    cry = org_ref[k, 2].astype(jnp.float32)
-    crx = org_ref[k, 3].astype(jnp.float32)
+    pry = (org_ref[k, 0] * 8).astype(jnp.float32)
+    prx = (org_ref[k, 1] * 128).astype(jnp.float32)
+    cry = (org_ref[k, 2] * 8).astype(jnp.float32)
+    crx = (org_ref[k, 3] * 128).astype(jnp.float32)
 
     # Template support must be >=1 px interior (in-block Scharr validity).
     ixp = jnp.floor(xp)
@@ -166,9 +173,13 @@ def _kernel(org_ref, uvf_ref, prev_hbm, cur_hbm, uv_out, ok_out,
     x, y = jax.lax.fori_loop(0, iters, body, uv0, unroll=True)
 
     inb = (x >= 1) & (x <= W - 2) & (y >= 1) & (y <= H - 2)
-    uv_out[0, 0] = x
-    uv_out[0, 1] = y
-    ok_out[0, 0] = (ok & inb).astype(jnp.int32)
+    # Outputs are whole-array SMEM blocks (all grid steps share them, each
+    # writing its own row k): Mosaic rejects sub-array blocks like (1, 2)
+    # even in SMEM — the only always-legal block shape for a scalar result
+    # table is the full array.
+    uv_out[k, 0] = x
+    uv_out[k, 1] = y
+    ok_out[k, 0] = (ok & inb).astype(jnp.int32)
 
 
 def track_level0(prev_img, cur_img, uv_prev, uv_cur, cfg, iters,
@@ -179,11 +190,17 @@ def track_level0(prev_img, cur_img, uv_prev, uv_cur, cfg, iters,
     h = cfg.klt_halfwin
     assert W % 128 == 0 and W >= BW and H >= CB_R, (H, W)
 
+    assert H % 8 == 0, H  # 8-aligned row origins need 8-aligned clip bounds
+
     def _orig(uv, rows, slackr):
+        # Row origin rounded DOWN to a multiple of 8: Mosaic requires the
+        # HBM-side DMA slice start to be divisible by the (8, 128) tile's
+        # sublane dim (hardware lowering fails otherwise).  The block-row
+        # budgets above absorb the up-to-7-row float.
         iy = jnp.nan_to_num(jnp.floor(uv[:, 1]), nan=0.0).astype(jnp.int32)
         ix = jnp.nan_to_num(jnp.floor(uv[:, 0]), nan=0.0).astype(jnp.int32)
-        ry = jnp.clip(iy - h - slackr, 0, H - rows)
-        rx = 128 * jnp.clip((ix - h - 2) // 128, 0, W // 128 - BW // 128)
+        ry = jnp.clip((iy - h - slackr) // 8, 0, (H - rows) // 8)
+        rx = jnp.clip((ix - h - 2) // 128, 0, W // 128 - BW // 128)
         return ry, rx
 
     pry, prx = _orig(uv_prev, PB_R, 2)
@@ -191,8 +208,8 @@ def track_level0(prev_img, cur_img, uv_prev, uv_cur, cfg, iters,
     # leftward motion has >=119 px of slack (rightward >=117).
     icy = jnp.nan_to_num(jnp.floor(uv_cur[:, 1]), nan=0.0).astype(jnp.int32)
     icx = jnp.nan_to_num(jnp.floor(uv_cur[:, 0]), nan=0.0).astype(jnp.int32)
-    cry = jnp.clip(icy - h - 12, 0, H - CB_R)
-    crx = 128 * jnp.clip(icx // 128 - 1, 0, W // 128 - BW // 128)
+    cry = jnp.clip((icy - h - 12) // 8, 0, (H - CB_R) // 8)
+    crx = jnp.clip(icx // 128 - 1, 0, W // 128 - BW // 128)
     org = jnp.stack([pry, prx, cry, crx], axis=1)
     uvf = jnp.concatenate(
         [jnp.nan_to_num(uv_prev, nan=-1e6),
@@ -206,11 +223,15 @@ def track_level0(prev_img, cur_img, uv_prev, uv_cur, cfg, iters,
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=[
-            # Scalar per-track results live in SMEM: a (1, 2) f32 block in
-            # VMEM would violate the Mosaic (8, 128) vector-tiling rule.
-            pl.BlockSpec((1, 2), lambda k, org, uvf: (k, 0),
+            # Scalar per-track results live in SMEM (a (1, 2) f32 block in
+            # VMEM would violate the Mosaic (8, 128) vector-tiling rule) as
+            # WHOLE-ARRAY blocks: Mosaic applies its block-shape rule to
+            # SMEM sub-blocks too (a (1, 2) SMEM block fails lowering on
+            # hardware — round-4 probe), but block == array dims is always
+            # legal; each grid step writes only its own row k.
+            pl.BlockSpec((K, 2), lambda k, org, uvf: (0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1), lambda k, org, uvf: (k, 0),
+            pl.BlockSpec((K, 1), lambda k, org, uvf: (0, 0),
                          memory_space=pltpu.SMEM),
         ],
         scratch_shapes=[
