@@ -390,3 +390,16 @@ def test_obs_prior_staged_basis_matches_dynamic_at_linearization():
     # And the prior is genuinely active at this point (non-trivial terms).
     Hn, gn, cn = build_nop(T_lin)
     assert float(cd) > float(cn)
+
+    # first_eval reuse: handing LM the precomputed staging linearization
+    # must be bit-identical to letting it rebuild at T0 (pure reuse of an
+    # identical subgraph — zero numerics change).
+    from velo_tpu.solve.lm import lm_solve
+
+    fe = build_frz(T_lin)
+    T_a, st_a = lm_solve(build_frz, T_lin, cfg)
+    T_b, st_b = lm_solve(build_frz, T_lin, cfg, first_eval=fe)
+    np.testing.assert_array_equal(np.asarray(T_a), np.asarray(T_b))
+    np.testing.assert_array_equal(np.asarray(st_a.cost),
+                                  np.asarray(st_b.cost))
+    assert int(st_a.n_accept) == int(st_b.n_accept)

@@ -382,22 +382,37 @@ def _obs_scaled_prior(cfg: SolverConfig, w_prior, r_pr, H_obs):
     return _obs_prior_terms(obs_prior_basis(cfg, w_prior, H_obs), r_pr)
 
 
-def _staged_obs_basis(cfg: SolverConfig, prior_T, prior_scale, build_noprior,
-                      *lin_point):
-    """One prior-less linearization at ``lin_point`` -> frozen ObsBasis.
+def _stage_prior(cfg: SolverConfig, prior_T, prior_scale, build_noprior,
+                 *lin_point):
+    """One prior-less linearization at ``lin_point`` -> (ObsBasis, first_eval).
 
-    Returns None when the obs-scaled prior is inactive (static branch —
-    cfg and the prior_T=None case are Python-level).  ``build_noprior``'s
-    returned H is exactly the geometric+visual Hessian the dynamic path
-    would have used as its observability source at the same point.
+    Returns (None, None) when the obs-scaled prior is inactive (static
+    branch — cfg and the prior_T=None case are Python-level).
+    ``build_noprior``'s returned H is exactly the geometric+visual Hessian
+    the dynamic path would have used as its observability source at the
+    same point.
+
+    ``first_eval`` is the FULL system (base + frozen-basis prior) at the
+    linearization point — bit-identical to what the staged builder would
+    produce there — handed to the LM solver so its first iteration (and
+    its init cost) reuse this linearization instead of recomputing it.
+    The staging linearization is thereby free: total full-linearization
+    count per outer iteration matches the prior-off pipeline exactly.
     """
     if prior_T is None or cfg.prior_obs_gain <= 0.0:
-        return None
-    w_pr, _ = _prior_weights(cfg, prior_T, prior_scale)
+        return None, None
+    w_pr, prior_inv = _prior_weights(cfg, prior_T, prior_scale)
     if w_pr is None:
-        return None
-    H_lin = build_noprior(*lin_point)[0]
-    return obs_prior_basis(cfg, w_pr, H_lin[:6, :6])
+        return None, None
+    H0, g0, c0 = build_noprior(*lin_point)
+    basis = obs_prior_basis(cfg, w_pr, H0[:6, :6])
+    r_pr = se3.log(lin_point[0] @ prior_inv)
+    Hp, gp, cp = _obs_prior_terms(basis, r_pr)
+    if H0.shape[0] == 6:
+        fe = (H0 + Hp, g0 + gp, c0 + cp)
+    else:  # 12-DoF continuous-time system: prior touches the pose block
+        fe = (H0.at[:6, :6].add(Hp), g0.at[:6].add(gp), c0 + cp)
+    return basis, fe
 
 
 def _vis_prior_terms6(T, cfg: SolverConfig, vis, w_prior, prior_inv,
@@ -550,8 +565,9 @@ def solve_scan_to_scan(
 
         # Stage the observability basis from ONE prior-less linearization at
         # this outer iteration's T, then freeze it through the LM solve (see
-        # ObsBasis — the in-loop eigendecomposition cost 31-38 % throughput).
-        basis = _staged_obs_basis(
+        # ObsBasis — the in-loop eigendecomposition cost 31-38 % throughput);
+        # the linearization itself is reused as the LM's first iteration.
+        basis, fe = _stage_prior(
             cfg, prior_T, prior_scale,
             make_lidar_system(cur_edges, cur_edge_mask, a, b, e_ok,
                               cur_planars, cur_planar_mask, n, d, p_ok,
@@ -565,7 +581,7 @@ def solve_scan_to_scan(
         n_e = jnp.sum(e_ok)
         n_p = jnp.sum(p_ok)
         enough = (n_e + n_p) >= _MIN_CORR
-        T_new, st = lm_solve(build, T, cfg)
+        T_new, st = lm_solve(build, T, cfg, first_eval=fe)
         T_out = jnp.where(enough, T_new, T)
         diag = SolveDiag(n_edge=n_e, n_planar=n_p, cost=st.cost,
                          degenerate=~enough,
@@ -616,7 +632,7 @@ def solve_scan_to_map(
         n, d, p_ok, p_q = _planar_planes_fit(pq, pp, cur_planar_mask, k)
         p_ok = p_ok & cur_planar_mask
 
-        basis = _staged_obs_basis(
+        basis, fe = _stage_prior(
             cfg, prior_T, prior_scale,
             make_lidar_system(cur_edges, cur_edge_mask, a, b, e_ok,
                               cur_planars, cur_planar_mask, n, d, p_ok,
@@ -630,7 +646,7 @@ def solve_scan_to_map(
         n_e = jnp.sum(e_ok)
         n_p = jnp.sum(p_ok)
         enough = (n_e + n_p) >= _MIN_CORR
-        T_new, st = lm_solve(build, T, cfg)
+        T_new, st = lm_solve(build, T, cfg, first_eval=fe)
         T_out = jnp.where(enough, T_new, T)
         diag = SolveDiag(n_edge=n_e, n_planar=n_p, cost=st.cost,
                          degenerate=~enough,
@@ -781,7 +797,7 @@ def solve_scan_to_scan_ct(
         n, d, p_ok, p_q = _planar_planes_fit(pq, pp, planar_mask,
                                              cfg.map_knn)
 
-        basis = _staged_obs_basis(
+        basis, fe = _stage_prior(
             cfg, prior_T, prior_scale,
             make_lidar_system_ct(edges_base, edge_phase, edge_mask, a, b,
                                  e_ok, planars_base, planar_phase,
@@ -796,7 +812,7 @@ def solve_scan_to_scan_ct(
         n_e = jnp.sum(e_ok)
         n_p = jnp.sum(p_ok)
         enough = (n_e + n_p) >= _MIN_CORR
-        T_new, xi2_new, st = lm_solve_ct(build, T, xi2, cfg)
+        T_new, xi2_new, st = lm_solve_ct(build, T, xi2, cfg, first_eval=fe)
         T_out = jnp.where(enough, T_new, T)
         xi2_out = jnp.where(enough, xi2_new, xi2)
         diag = SolveDiag(n_edge=n_e, n_planar=n_p, cost=st.cost,

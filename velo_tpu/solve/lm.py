@@ -39,8 +39,16 @@ def lm_solve(
     T0: jnp.ndarray,
     cfg: SolverConfig,
     iters: int | None = None,
+    first_eval: Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray] | None = None,
 ) -> Tuple[jnp.ndarray, LMState]:
-    """Run masked fixed-iteration LM from T0; returns (T_opt, final state)."""
+    """Run masked fixed-iteration LM from T0; returns (T_opt, final state).
+
+    ``first_eval`` is an optional precomputed ``build_system(T0)`` result
+    (the outer ICP loop already linearizes at T0 to stage the observability
+    basis); the first LM iteration and the init cost reuse it instead of
+    re-linearizing — the loop is Python-unrolled, so the reuse is a static
+    branch with zero runtime dispatch.
+    """
     iters = cfg.lm_iters if iters is None else iters
 
     def cost_only(T):
@@ -55,7 +63,7 @@ def lm_solve(
     # rescaling by robust-loss weights — and project the weak directions out
     # of every step so the motion prior survives along them.
     if cfg.degen_rel_min > 0.0:
-        H0, _, _ = build_system(T0)
+        H0, _, _ = first_eval if first_eval is not None else build_system(T0)
 
         def block_proj(B):
             evals, V = jnp.linalg.eigh(B)
@@ -68,8 +76,11 @@ def lm_solve(
     else:
         P_keep = jnp.eye(6, dtype=T0.dtype)
 
-    def body(_, st: LMState) -> LMState:
-        H, g, cost = build_system(st.T)
+    def body(i, st: LMState) -> LMState:
+        if i == 0 and first_eval is not None:
+            H, g, cost = first_eval  # st.T == T0 on the first iteration
+        else:
+            H, g, cost = build_system(st.T)
         # Jacobi scaling: solve in units of sqrt(diag(H)) for conditioning
         # (float32-safe on near-degenerate geometry, SURVEY.md §7 hard-part 5).
         D = jnp.sqrt(jnp.diagonal(H) + 1e-8)
@@ -106,7 +117,7 @@ def lm_solve(
     init = LMState(
         T=T0,
         lam=jnp.asarray(cfg.lm_lambda_init, T0.dtype),
-        cost=cost_only(T0),
+        cost=first_eval[2] if first_eval is not None else cost_only(T0),
         converged=jnp.asarray(False),
         last_delta=jnp.asarray(jnp.inf, T0.dtype),
         n_accept=jnp.int32(0),
@@ -138,6 +149,7 @@ def lm_solve_ct(
     xi2_0: jnp.ndarray,
     cfg: SolverConfig,
     iters: int | None = None,
+    first_eval: Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray] | None = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, LMStateCT]:
     """12-DoF LM over (pose, sweep motion) — the continuous-time solve.
 
@@ -152,8 +164,11 @@ def lm_solve_ct(
     def cost_only(T, xi2):
         return build_system(T, xi2)[2]
 
-    def body(st: LMStateCT) -> LMStateCT:
-        H, g, cost = build_system(st.T, st.xi2)
+    def body(i, st: LMStateCT) -> LMStateCT:
+        if i == 0 and first_eval is not None:
+            H, g, cost = first_eval  # st == (T0, xi2_0) on iteration 0
+        else:
+            H, g, cost = build_system(st.T, st.xi2)
         D = jnp.sqrt(jnp.diagonal(H) + 1e-8)
         Hs = H / (D[:, None] * D[None, :])
         gs = g / D
@@ -184,10 +199,11 @@ def lm_solve_ct(
     st = LMStateCT(
         T=T0, xi2=xi2_0,
         lam=jnp.asarray(cfg.lm_lambda_init, T0.dtype),
-        cost=cost_only(T0, xi2_0),
+        cost=(first_eval[2] if first_eval is not None
+              else cost_only(T0, xi2_0)),
         converged=jnp.asarray(False),
         n_accept=jnp.int32(0),
     )
-    for _ in range(iters):
-        st = body(st)
+    for i in range(iters):
+        st = body(i, st)
     return st.T, st.xi2, st
