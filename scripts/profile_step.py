@@ -46,6 +46,9 @@ def main():
         use_map=True,
         prebin_host=True,  # same production layout bench.py measures
     )
+    if os.environ.get("VELO_BENCH_OVERRIDES"):
+        # Trace exactly the config a VELO_BENCH_OVERRIDES probe measures.
+        cfg = bench_mod.apply_overrides(cfg, os.environ["VELO_BENCH_OVERRIDES"])
     mode = "fused" if args.vision else "lidar"
     scans_np, masks_np, images_np, P, T_cam_velo = bench_mod.get_frames(
         cfg, args.vision, bench_mod.cache_path(mode))

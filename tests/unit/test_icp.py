@@ -342,11 +342,13 @@ def test_obs_scaled_prior_keeps_observed_directions_free():
 
 
 def test_obs_prior_staged_basis_matches_dynamic_at_linearization():
-    """The production solvers freeze the observability basis once per outer
-    ICP iteration (ObsBasis — the round-4 in-loop eigendecomposition cost
-    31-38 % throughput).  At the linearization point itself the frozen-basis
-    system must equal the dynamic-basis system bit-for-bit in structure:
-    same H, g, cost.  Uses anisotropic geometry so the eigenbasis is
+    """The production solvers route the obs prior through _make_stage: each
+    LM iteration re-derives the basis at its own linearization point and
+    freezes it for trial costs (so cost probes carry no Hessian dependence
+    — the round-4 in-loop formulation cost 31-38 % throughput).  At the
+    linearization point itself stage() must equal the dynamic-basis builder
+    bit-for-bit: same H, g, cost; and its trial_cost at the same point must
+    equal that cost.  Uses anisotropic geometry so the eigenbasis is
     nontrivial, plus a prior deviation large enough to clear the dead zone.
     """
     rng = np.random.default_rng(7)
@@ -375,31 +377,25 @@ def test_obs_prior_staged_basis_matches_dynamic_at_linearization():
             planars, ok, pl_n, pl_d, ok, cfg)
     build_dyn = icp.make_lidar_system(*args, prior_T=prior_T)
     build_nop = icp.make_lidar_system(*args)
-    w_pr, _ = icp._prior_weights(cfg, prior_T, None)
-    basis = icp.obs_prior_basis(cfg, w_pr, build_nop(T_lin)[0])
-    build_frz = icp.make_lidar_system(*args, prior_T=prior_T,
-                                      obs_basis=basis)
+    stage = icp._make_stage(cfg, prior_T, None, build_nop)
 
     Hd, gd, cd = build_dyn(T_lin)
-    Hf, gf, cf = build_frz(T_lin)
+    Hf, gf, cf, trial_cost, basis = stage(T_lin)
     np.testing.assert_allclose(np.asarray(Hf), np.asarray(Hd), rtol=1e-6,
                                atol=1e-4)
     np.testing.assert_allclose(np.asarray(gf), np.asarray(gd), rtol=1e-6,
                                atol=1e-4)
     np.testing.assert_allclose(float(cf), float(cd), rtol=1e-6)
+    np.testing.assert_allclose(float(trial_cost(T_lin)), float(cf),
+                               rtol=1e-6)
     # And the prior is genuinely active at this point (non-trivial terms).
     Hn, gn, cn = build_nop(T_lin)
     assert float(cd) > float(cn)
 
-    # first_eval reuse: handing LM the precomputed staging linearization
-    # must be bit-identical to letting it rebuild at T0 (pure reuse of an
-    # identical subgraph — zero numerics change).
+    # The staged LM solve pins the same weak-direction behavior as the
+    # dynamic builder (both re-derive the basis at each linearization).
     from velo_tpu.solve.lm import lm_solve
 
-    fe = build_frz(T_lin)
-    T_a, st_a = lm_solve(build_frz, T_lin, cfg)
-    T_b, st_b = lm_solve(build_frz, T_lin, cfg, first_eval=fe)
-    np.testing.assert_array_equal(np.asarray(T_a), np.asarray(T_b))
-    np.testing.assert_array_equal(np.asarray(st_a.cost),
-                                  np.asarray(st_b.cost))
-    assert int(st_a.n_accept) == int(st_b.n_accept)
+    T_a, st_a = lm_solve(build_dyn, T_lin, cfg)
+    T_b, st_b = lm_solve(None, T_lin, cfg, stage=stage)
+    np.testing.assert_allclose(np.asarray(T_a), np.asarray(T_b), atol=5e-3)

@@ -199,6 +199,16 @@ class SolverConfig:
     # (planar 1.29 vs 1.96 deg/100m).  Set 0.0 to disable (static branch).
     prior_obs_ref: float = 0.05
     prior_obs_dz_floor: float = 0.25
+    # LM iterations that RE-DERIVE the observability eigenbasis at their own
+    # linearization point before it freezes for the rest of the solve.  The
+    # basis must track the early LM steps (round-5 A/B on bit-identical
+    # fixtures: freezing from iteration 0 regressed fused planar 0.73 ->
+    # 1.52 %/100m, i.e. the prediction-pose Hessian misjudges weak
+    # directions until data corrects the pose) but each re-derivation is an
+    # ~80-op serial scalar chain on the LM critical path (full per-
+    # iteration refresh measured -14 fused fps).  >= lm_iters = always
+    # refresh (the dynamic-equivalent build schedule).
+    prior_obs_stage_iters: int = 2
     # Continuous-time sweep solve (12 DoF): jointly estimate the current
     # scan's own sweep motion instead of assuming the constant-velocity
     # prediction — removes the O(acceleration) residual-distortion error

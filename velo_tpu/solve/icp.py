@@ -244,8 +244,7 @@ def make_lidar_system(edges, edge_mask, line_a, line_b, line_ok,
                       planars, planar_mask, pl_n, pl_d, pl_ok,
                       cfg: SolverConfig, vis: "VisData | None" = None,
                       edge_q=None, planar_q=None, prior_T=None,
-                      prior_scale=None,
-                      obs_basis: "ObsBasis | None" = None):
+                      prior_scale=None):
     """Closure: T -> (H, g, cost) for fixed lidar (+ visual) correspondences.
 
     ``edge_q`` / ``planar_q`` are optional per-correspondence fit-quality
@@ -286,26 +285,28 @@ def make_lidar_system(edges, edge_mask, line_a, line_b, line_ok,
         )
 
         Ha, ga, ca = _vis_prior_terms6(T, cfg, vis, w_prior, prior_inv,
-                                       H_obs=H, obs_basis=obs_basis)
+                                       H_obs=H)
         return H + Ha, g + ga, cost + ca
 
     return build
 
 
 class ObsBasis(NamedTuple):
-    """Frozen observability eigenbasis + per-direction prior weights.
+    """Observability eigenbasis + per-direction prior weights.
 
-    Computed ONCE per outer ICP iteration from the geometric+visual Hessian
-    at that iteration's linearization point, then reused by every
-    ``build_system`` call of the inner LM loop.  Round-4 shipped the prior
-    with the eigendecomposition *inside* build_system, which (a) re-ran two
-    closed-form 3x3 eigs ~18x per outer iteration and — far worse — (b) made
-    the LM *cost probes* depend on the full Hessian, so XLA could no longer
+    Re-derived at every LM iteration's linearization point from the
+    prior-less geometric+visual Hessian (via :func:`_make_stage`), then
+    FROZEN for that iteration's trial-cost probes.  Round-4 shipped the
+    prior with the eigendecomposition *inside* build_system, which made the
+    LM *cost probes* depend on the full Hessian, so XLA could no longer
     dead-code-eliminate the J^T W J einsums in any of the ~5 cost-only
     evaluations per LM solve.  Judge-measured cost: 31-38 % of end-to-end
-    throughput (fused 69.6 vs 101.5 fps).  The basis barely moves between LM
-    iterations (it is a property of the scan's geometry), so freezing it per
-    outer iteration keeps the accuracy story while restoring the DCE.
+    throughput (fused 69.6 vs 101.5 fps).  A coarser variant (basis frozen
+    across the whole LM solve, refreshed once per outer ICP iteration) was
+    tried first and measurably regressed drift on bit-identical fixtures
+    (fused planar 0.73 -> 1.52 %/100m) — the per-iteration refresh of the
+    BUILD-side basis is load-bearing; only the trial-cost side tolerates
+    freezing.
     """
 
     V: jnp.ndarray  # (2, 3, 3) eigenvectors, [trans, rot] blocks
@@ -325,51 +326,45 @@ def obs_prior_basis(cfg: SolverConfig, w_prior, H_obs) -> ObsBasis:
     with obs_i = clip(s_i / prior_obs_ref, 0, 1).  Fully-observed directions
     (obs=1) keep the base weight and dead zone; unobserved ones are pinned
     to the constant-velocity prediction.
+
+    Both blocks go through ONE batched closed-form eigendecomposition: the
+    chain is ~80 sequential tiny VPU ops on the LM critical path (it cannot
+    overlap the next linearization, which depends on it), so halving the
+    serial depth is a direct throughput win in the unrolled loops.
     """
-    gain = cfg.prior_obs_gain
-
-    def block(lo, dz_base):
-        B = H_obs[lo:lo + 3, lo:lo + 3]
-        evals, V = lin3.sym_eig3x3(0.5 * (B + B.T))
-        s = evals / jnp.maximum(evals[-1], 1e-12)
-        obs = jnp.clip(s / cfg.prior_obs_ref, 0.0, 1.0)
-        w_i = w_prior[lo] * (1.0 + gain * (1.0 - obs))
-        dz_i = dz_base * (cfg.prior_obs_dz_floor
-                          + (1.0 - cfg.prior_obs_dz_floor) * obs)
-        return V, w_i, dz_i
-
-    Vt, wt, dzt = block(0, cfg.prior_deadzone_trans)
-    Vr, wr, dzr = block(3, cfg.prior_deadzone_rot)
-    return ObsBasis(V=jnp.stack([Vt, Vr]), w=jnp.stack([wt, wr]),
-                    dz=jnp.stack([dzt, dzr]))
+    B = jnp.stack([H_obs[:3, :3], H_obs[3:6, 3:6]])  # (2, 3, 3)
+    evals, V = lin3.sym_eig3x3(0.5 * (B + jnp.swapaxes(B, -1, -2)))
+    s = evals / jnp.maximum(evals[..., 2:3], 1e-12)
+    obs = jnp.clip(s / cfg.prior_obs_ref, 0.0, 1.0)
+    w_base = jnp.stack([w_prior[0], w_prior[3]])[:, None]
+    dz_base = jnp.asarray(
+        [cfg.prior_deadzone_trans, cfg.prior_deadzone_rot],
+        H_obs.dtype)[:, None]
+    w_i = w_base * (1.0 + cfg.prior_obs_gain * (1.0 - obs))
+    dz_i = dz_base * (cfg.prior_obs_dz_floor
+                      + (1.0 - cfg.prior_obs_dz_floor) * obs)
+    return ObsBasis(V=V, w=w_i, dz=dz_i)
 
 
 def _obs_prior_terms(basis: ObsBasis, r_pr):
     """(H, g, cost) of the anisotropic dead-zone prior in a fixed basis.
 
-    Pure 3x3 matvec + clip work — no eigendecomposition, and crucially no
-    dependence on the current Hessian, so cost-only evaluations of the
-    enclosing build_system dead-code-eliminate all J^T W J einsums.  The
-    dead zone is applied per component in the eigenbasis (each
-    eigendirection is an independent pseudo-measurement), vs the isotropic
-    path's radial-norm dead zone.
+    Pure batched 3x3 matvec + clip work — no eigendecomposition, and
+    crucially no dependence on the current Hessian, so cost-only
+    evaluations dead-code-eliminate all J^T W J einsums.  The dead zone is
+    applied per component in the eigenbasis (each eigendirection is an
+    independent pseudo-measurement), vs the isotropic path's radial-norm
+    dead zone.  GN with J = V^T (dr_v/dxi of the ~identity prior Jacobian).
     """
-
-    def block(i, lo):
-        V, w_i, dz_i = basis.V[i], basis.w[i], basis.dz[i]
-        r_v = V.T @ r_pr[lo:lo + 3]
-        r_eff = r_v - jnp.clip(r_v, -dz_i, dz_i)
-        active = (jnp.abs(r_v) > dz_i).astype(r_v.dtype)
-        # GN with J = V^T (dr_v/dxi of the ~identity prior Jacobian).
-        Hb = (V * (w_i * active)[None, :]) @ V.T
-        gb = V @ (w_i * r_eff)
-        cb = 0.5 * jnp.sum(w_i * r_eff * r_eff)
-        return Hb, gb, cb
-
-    Ht, gt, ct = block(0, 0)
-    Hr, gr, cr = block(1, 3)
-    H = jax.scipy.linalg.block_diag(Ht, Hr)
-    return H, jnp.concatenate([gt, gr]), ct + cr
+    r = jnp.stack([r_pr[:3], r_pr[3:]])  # (2, 3)
+    r_v = jnp.einsum("bij,bi->bj", basis.V, r)  # V^T r per block
+    r_eff = r_v - jnp.clip(r_v, -basis.dz, basis.dz)
+    active = (jnp.abs(r_v) > basis.dz).astype(r_v.dtype)
+    Hb = jnp.einsum("bik,bk,bjk->bij", basis.V, basis.w * active, basis.V)
+    gb = jnp.einsum("bij,bj->bi", basis.V, basis.w * r_eff)
+    H = jax.scipy.linalg.block_diag(Hb[0], Hb[1])
+    g = jnp.concatenate([gb[0], gb[1]])
+    return H, g, 0.5 * jnp.sum(basis.w * r_eff * r_eff)
 
 
 def _obs_scaled_prior(cfg: SolverConfig, w_prior, r_pr, H_obs):
@@ -382,41 +377,75 @@ def _obs_scaled_prior(cfg: SolverConfig, w_prior, r_pr, H_obs):
     return _obs_prior_terms(obs_prior_basis(cfg, w_prior, H_obs), r_pr)
 
 
-def _stage_prior(cfg: SolverConfig, prior_T, prior_scale, build_noprior,
-                 *lin_point):
-    """One prior-less linearization at ``lin_point`` -> (ObsBasis, first_eval).
+def _make_stage(cfg: SolverConfig, prior_T, prior_scale, build_noprior):
+    """Per-LM-iteration observability staging for :func:`lm_solve`.
 
-    Returns (None, None) when the obs-scaled prior is inactive (static
-    branch — cfg and the prior_T=None case are Python-level).
-    ``build_noprior``'s returned H is exactly the geometric+visual Hessian
-    the dynamic path would have used as its observability source at the
-    same point.
-
-    ``first_eval`` is the FULL system (base + frozen-basis prior) at the
-    linearization point — bit-identical to what the staged builder would
-    produce there — handed to the LM solver so its first iteration (and
-    its init cost) reuse this linearization instead of recomputing it.
-    The staging linearization is thereby free: total full-linearization
-    count per outer iteration matches the prior-off pipeline exactly.
+    Returns ``stage(T, basis=None) -> (H, g, cost, trial_cost, basis)`` or
+    None when the obs-scaled prior is inactive (static branches — cfg and
+    the prior_T=None case are Python-level).  With ``basis=None`` the
+    prior's eigenbasis is re-derived from the prior-less geometric+visual
+    Hessian at T — numerically matching the dynamic path on the build side;
+    passing a basis reuses it (the LM loop refreshes for the first
+    ``prior_obs_stage_iters`` iterations, where the pose moves most, and
+    freezes after).  Either way the iteration's trial-cost probes use the
+    frozen basis, so trial costs carry no Hessian dependence (see ObsBasis
+    for the measured 31-38 % cost of losing that dead-code elimination).
     """
     if prior_T is None or cfg.prior_obs_gain <= 0.0:
-        return None, None
+        return None
     w_pr, prior_inv = _prior_weights(cfg, prior_T, prior_scale)
     if w_pr is None:
-        return None, None
-    H0, g0, c0 = build_noprior(*lin_point)
-    basis = obs_prior_basis(cfg, w_pr, H0[:6, :6])
-    r_pr = se3.log(lin_point[0] @ prior_inv)
-    Hp, gp, cp = _obs_prior_terms(basis, r_pr)
-    if H0.shape[0] == 6:
-        fe = (H0 + Hp, g0 + gp, c0 + cp)
-    else:  # 12-DoF continuous-time system: prior touches the pose block
-        fe = (H0.at[:6, :6].add(Hp), g0.at[:6].add(gp), c0 + cp)
-    return basis, fe
+        return None
+
+    def stage(T, basis=None):
+        H0, g0, c0 = build_noprior(T)
+        if basis is None:
+            basis = obs_prior_basis(cfg, w_pr, H0)
+
+        def prior_terms(T_at):
+            return _obs_prior_terms(basis, se3.log(T_at @ prior_inv))
+
+        Hp, gp, cp = prior_terms(T)
+
+        def trial_cost(T_try):
+            # H/g of both the base system and the prior are dead code here.
+            return build_noprior(T_try)[2] + prior_terms(T_try)[2]
+
+        return H0 + Hp, g0 + gp, c0 + cp, trial_cost, basis
+
+    return stage
+
+
+def _make_stage_ct(cfg: SolverConfig, prior_T, prior_scale, build_noprior):
+    """12-DoF variant of :func:`_make_stage` for :func:`lm_solve_ct`; the
+    prior touches only the pose block of the (12, 12) system."""
+    if prior_T is None or cfg.prior_obs_gain <= 0.0:
+        return None
+    w_pr, prior_inv = _prior_weights(cfg, prior_T, prior_scale)
+    if w_pr is None:
+        return None
+
+    def stage(T, xi2, basis=None):
+        H0, g0, c0 = build_noprior(T, xi2)
+        if basis is None:
+            basis = obs_prior_basis(cfg, w_pr, H0[:6, :6])
+
+        def prior_terms(T_at):
+            return _obs_prior_terms(basis, se3.log(T_at @ prior_inv))
+
+        Hp, gp, cp = prior_terms(T)
+
+        def trial_cost(T_try, xi2_try):
+            return build_noprior(T_try, xi2_try)[2] + prior_terms(T_try)[2]
+
+        return (H0.at[:6, :6].add(Hp), g0.at[:6].add(gp), c0 + cp,
+                trial_cost, basis)
+
+    return stage
 
 
 def _vis_prior_terms6(T, cfg: SolverConfig, vis, w_prior, prior_inv,
-                      H_obs=None, obs_basis: "ObsBasis | None" = None):
+                      H_obs=None):
     """6-DoF (H, g, cost) of the visual + motion-prior cost blocks.
 
     Shared by the 6-DoF and the 12-DoF (continuous-time) system builders —
@@ -499,13 +528,11 @@ def _vis_prior_terms6(T, cfg: SolverConfig, vis, w_prior, prior_inv,
         # deviations the prior is meant to bound.
         r_pr = se3.log(T @ prior_inv)
         if cfg.prior_obs_gain > 0.0:
-            if obs_basis is not None:
-                # Frozen per-outer-iteration basis (the production path):
-                # cheap 3x3 matvecs, no H dependence.
-                Hp, gp, cp = _obs_prior_terms(obs_basis, r_pr)
-            else:
-                base = H if H_obs is None else H_obs + H
-                Hp, gp, cp = _obs_scaled_prior(cfg, w_prior, r_pr, base)
+            # Dynamic-basis path (direct builder users; the production
+            # solvers route the obs prior through _make_stage instead so
+            # trial costs stay Hessian-free).
+            base = H if H_obs is None else H_obs + H
+            Hp, gp, cp = _obs_scaled_prior(cfg, w_prior, r_pr, base)
             H, g, cost = H + Hp, g + gp, cost + cp
         else:
             def _dz(r3, dz):
@@ -563,25 +590,24 @@ def solve_scan_to_scan(
         n, d, p_ok, p_q = _planar_planes_fit(pq, pp, cur_planar_mask,
                                              cfg.map_knn)
 
-        # Stage the observability basis from ONE prior-less linearization at
-        # this outer iteration's T, then freeze it through the LM solve (see
-        # ObsBasis — the in-loop eigendecomposition cost 31-38 % throughput);
-        # the linearization itself is reused as the LM's first iteration.
-        basis, fe = _stage_prior(
+        # Observability-scaled prior: LM re-derives the eigenbasis per
+        # iteration from the prior-less system (dynamic on the build side),
+        # with trial costs under the iteration's frozen basis (H-free — see
+        # _make_stage / ObsBasis for the measured throughput rationale).
+        stage = _make_stage(
             cfg, prior_T, prior_scale,
             make_lidar_system(cur_edges, cur_edge_mask, a, b, e_ok,
                               cur_planars, cur_planar_mask, n, d, p_ok,
-                              cfg, vis=vis, planar_q=p_q), T)
-        build = make_lidar_system(
+                              cfg, vis=vis, planar_q=p_q))
+        build = None if stage is not None else make_lidar_system(
             cur_edges, cur_edge_mask, a, b, e_ok,
             cur_planars, cur_planar_mask, n, d, p_ok, cfg, vis=vis,
             planar_q=p_q, prior_T=prior_T, prior_scale=prior_scale,
-            obs_basis=basis,
         )
         n_e = jnp.sum(e_ok)
         n_p = jnp.sum(p_ok)
         enough = (n_e + n_p) >= _MIN_CORR
-        T_new, st = lm_solve(build, T, cfg, first_eval=fe)
+        T_new, st = lm_solve(build, T, cfg, stage=stage)
         T_out = jnp.where(enough, T_new, T)
         diag = SolveDiag(n_edge=n_e, n_planar=n_p, cost=st.cost,
                          degenerate=~enough,
@@ -632,21 +658,21 @@ def solve_scan_to_map(
         n, d, p_ok, p_q = _planar_planes_fit(pq, pp, cur_planar_mask, k)
         p_ok = p_ok & cur_planar_mask
 
-        basis, fe = _stage_prior(
+        stage = _make_stage(
             cfg, prior_T, prior_scale,
             make_lidar_system(cur_edges, cur_edge_mask, a, b, e_ok,
                               cur_planars, cur_planar_mask, n, d, p_ok,
-                              cfg, edge_q=e_q, planar_q=p_q), T)
-        build = make_lidar_system(
+                              cfg, edge_q=e_q, planar_q=p_q))
+        build = None if stage is not None else make_lidar_system(
             cur_edges, cur_edge_mask, a, b, e_ok,
             cur_planars, cur_planar_mask, n, d, p_ok, cfg,
             edge_q=e_q, planar_q=p_q, prior_T=prior_T,
-            prior_scale=prior_scale, obs_basis=basis,
+            prior_scale=prior_scale,
         )
         n_e = jnp.sum(e_ok)
         n_p = jnp.sum(p_ok)
         enough = (n_e + n_p) >= _MIN_CORR
-        T_new, st = lm_solve(build, T, cfg, first_eval=fe)
+        T_new, st = lm_solve(build, T, cfg, stage=stage)
         T_out = jnp.where(enough, T_new, T)
         diag = SolveDiag(n_edge=n_e, n_planar=n_p, cost=st.cost,
                          degenerate=~enough,
@@ -668,8 +694,7 @@ def make_lidar_system_ct(edges_base, edge_phase, edge_mask,
                          pl_n, pl_d, pl_ok, xi_ref, cfg: SolverConfig,
                          vis: "VisData | None" = None,
                          edge_q=None, planar_q=None, prior_T=None,
-                         prior_scale=None,
-                         obs_basis: "ObsBasis | None" = None):
+                         prior_scale=None):
     """12-DoF continuous-time system: T -> target frame AND the current
     scan's own sweep motion xi2.
 
@@ -741,7 +766,7 @@ def make_lidar_system_ct(edges_base, edge_phase, edge_mask,
         cost = cost + 0.5 * jnp.sum(w_couple * r_c * r_c)
 
         Ha, ga, ca = _vis_prior_terms6(T, cfg, vis, w_prior, prior_inv,
-                                       H_obs=H[:6, :6], obs_basis=obs_basis)
+                                       H_obs=H[:6, :6])
         H = H.at[:6, :6].add(Ha)
         g = g.at[:6].add(ga)
         return H, g, cost + ca
@@ -797,22 +822,22 @@ def solve_scan_to_scan_ct(
         n, d, p_ok, p_q = _planar_planes_fit(pq, pp, planar_mask,
                                              cfg.map_knn)
 
-        basis, fe = _stage_prior(
+        stage = _make_stage_ct(
             cfg, prior_T, prior_scale,
             make_lidar_system_ct(edges_base, edge_phase, edge_mask, a, b,
                                  e_ok, planars_base, planar_phase,
                                  planar_mask, n, d, p_ok, xi_ref, cfg,
-                                 vis=vis, planar_q=p_q), T, xi2)
-        build = make_lidar_system_ct(
+                                 vis=vis, planar_q=p_q))
+        build = None if stage is not None else make_lidar_system_ct(
             edges_base, edge_phase, edge_mask, a, b, e_ok,
             planars_base, planar_phase, planar_mask, n, d, p_ok,
             xi_ref, cfg, vis=vis, planar_q=p_q, prior_T=prior_T,
-            prior_scale=prior_scale, obs_basis=basis,
+            prior_scale=prior_scale,
         )
         n_e = jnp.sum(e_ok)
         n_p = jnp.sum(p_ok)
         enough = (n_e + n_p) >= _MIN_CORR
-        T_new, xi2_new, st = lm_solve_ct(build, T, xi2, cfg, first_eval=fe)
+        T_new, xi2_new, st = lm_solve_ct(build, T, xi2, cfg, stage=stage)
         T_out = jnp.where(enough, T_new, T)
         xi2_out = jnp.where(enough, xi2_new, xi2)
         diag = SolveDiag(n_edge=n_e, n_planar=n_p, cost=st.cost,

@@ -39,15 +39,23 @@ def lm_solve(
     T0: jnp.ndarray,
     cfg: SolverConfig,
     iters: int | None = None,
-    first_eval: Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray] | None = None,
+    stage: "Callable | None" = None,
 ) -> Tuple[jnp.ndarray, LMState]:
     """Run masked fixed-iteration LM from T0; returns (T_opt, final state).
 
-    ``first_eval`` is an optional precomputed ``build_system(T0)`` result
-    (the outer ICP loop already linearizes at T0 to stage the observability
-    basis); the first LM iteration and the init cost reuse it instead of
-    re-linearizing — the loop is Python-unrolled, so the reuse is a static
-    branch with zero runtime dispatch.
+    ``stage`` (optional, used by solves with the observability-scaled
+    prior) replaces ``build_system``: ``stage(T, basis) -> (H, g, cost,
+    trial_cost, basis)`` linearizes the full system at T — re-deriving the
+    prior's eigenbasis from the Hessian at T when ``basis`` is None, else
+    reusing it — and returns a ``trial_cost(T_try)`` that evaluates
+    candidate steps under that SAME frozen basis.  Trial costs therefore
+    carry no Hessian dependence, so XLA dead-code-eliminates their J^T W J
+    einsums (the in-cost H dependence was the round-4 31-38 % throughput
+    hole).  The basis refreshes for the first cfg.prior_obs_stage_iters
+    iterations — where the pose moves most and a stale basis measurably
+    regresses drift — then freezes (each re-derivation is a serial scalar
+    chain on the critical path).  When ``stage`` is given, ``build_system``
+    may be None.
     """
     iters = cfg.lm_iters if iters is None else iters
 
@@ -63,7 +71,7 @@ def lm_solve(
     # rescaling by robust-loss weights — and project the weak directions out
     # of every step so the motion prior survives along them.
     if cfg.degen_rel_min > 0.0:
-        H0, _, _ = first_eval if first_eval is not None else build_system(T0)
+        H0 = stage(T0)[0] if stage is not None else build_system(T0)[0]
 
         def block_proj(B):
             evals, V = jnp.linalg.eigh(B)
@@ -76,11 +84,15 @@ def lm_solve(
     else:
         P_keep = jnp.eye(6, dtype=T0.dtype)
 
+    basis = [None]  # threaded through the Python-unrolled loop
+
     def body(i, st: LMState) -> LMState:
-        if i == 0 and first_eval is not None:
-            H, g, cost = first_eval  # st.T == T0 on the first iteration
+        if stage is not None:
+            reuse = basis[0] if i >= cfg.prior_obs_stage_iters else None
+            H, g, cost, trial_cost, basis[0] = stage(st.T, reuse)
         else:
             H, g, cost = build_system(st.T)
+            trial_cost = cost_only
         # Jacobi scaling: solve in units of sqrt(diag(H)) for conditioning
         # (float32-safe on near-degenerate geometry, SURVEY.md §7 hard-part 5).
         D = jnp.sqrt(jnp.diagonal(H) + 1e-8)
@@ -95,7 +107,7 @@ def lm_solve(
         delta = jnp.where(bad, 0.0, delta)
 
         T_try = se3.exp(delta) @ st.T
-        cost_try = cost_only(T_try)
+        cost_try = trial_cost(T_try)
         accept = (cost_try < cost) & ~bad & ~st.converged
 
         T_new = jnp.where(accept, T_try, st.T)
@@ -117,7 +129,11 @@ def lm_solve(
     init = LMState(
         T=T0,
         lam=jnp.asarray(cfg.lm_lambda_init, T0.dtype),
-        cost=first_eval[2] if first_eval is not None else cost_only(T0),
+        # body() never reads st.cost (it re-linearizes at st.T), so the
+        # init value only matters for the degenerate iters=0 case; with a
+        # stage the real cost lands in the first body iteration.
+        cost=(jnp.asarray(jnp.inf, T0.dtype) if stage is not None
+              else cost_only(T0)),
         converged=jnp.asarray(False),
         last_delta=jnp.asarray(jnp.inf, T0.dtype),
         n_accept=jnp.int32(0),
@@ -149,7 +165,7 @@ def lm_solve_ct(
     xi2_0: jnp.ndarray,
     cfg: SolverConfig,
     iters: int | None = None,
-    first_eval: Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray] | None = None,
+    stage: "Callable | None" = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, LMStateCT]:
     """12-DoF LM over (pose, sweep motion) — the continuous-time solve.
 
@@ -164,11 +180,15 @@ def lm_solve_ct(
     def cost_only(T, xi2):
         return build_system(T, xi2)[2]
 
+    basis = [None]  # threaded through the Python-unrolled loop
+
     def body(i, st: LMStateCT) -> LMStateCT:
-        if i == 0 and first_eval is not None:
-            H, g, cost = first_eval  # st == (T0, xi2_0) on iteration 0
+        if stage is not None:
+            reuse = basis[0] if i >= cfg.prior_obs_stage_iters else None
+            H, g, cost, trial_cost, basis[0] = stage(st.T, st.xi2, reuse)
         else:
             H, g, cost = build_system(st.T, st.xi2)
+            trial_cost = cost_only
         D = jnp.sqrt(jnp.diagonal(H) + 1e-8)
         Hs = H / (D[:, None] * D[None, :])
         gs = g / D
@@ -180,7 +200,7 @@ def lm_solve_ct(
 
         T_try = se3.exp(delta[:6]) @ st.T
         xi2_try = st.xi2 + delta[6:]
-        cost_try = cost_only(T_try, xi2_try)
+        cost_try = trial_cost(T_try, xi2_try)
         accept = (cost_try < cost) & ~bad & ~st.converged
         lam_new = jnp.where(
             accept, st.lam * cfg.lm_lambda_down, st.lam * cfg.lm_lambda_up
@@ -199,7 +219,7 @@ def lm_solve_ct(
     st = LMStateCT(
         T=T0, xi2=xi2_0,
         lam=jnp.asarray(cfg.lm_lambda_init, T0.dtype),
-        cost=(first_eval[2] if first_eval is not None
+        cost=(jnp.asarray(jnp.inf, T0.dtype) if stage is not None
               else cost_only(T0, xi2_0)),
         converged=jnp.asarray(False),
         n_accept=jnp.int32(0),
