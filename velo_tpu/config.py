@@ -204,11 +204,13 @@ class SolverConfig:
     # basis must track the early LM steps (round-5 A/B on bit-identical
     # fixtures: freezing from iteration 0 regressed fused planar 0.73 ->
     # 1.52 %/100m, i.e. the prediction-pose Hessian misjudges weak
-    # directions until data corrects the pose) but each re-derivation is an
-    # ~80-op serial scalar chain on the LM critical path (full per-
-    # iteration refresh measured -14 fused fps).  >= lm_iters = always
-    # refresh (the dynamic-equivalent build schedule).
-    prior_obs_stage_iters: int = 2
+    # directions until data corrects the pose).  Default >= lm_iters =
+    # refresh every iteration (the dynamic-equivalent build schedule): with
+    # the first-linearization reuse + batched closed-form eig the full
+    # refresh costs only ~1 fused fps vs stage_iters=2 (measured 103.6 vs
+    # 104.7) while fused planar drift improves 1.08 -> 0.89 %/100m
+    # (5-seed means, bit-identical fixtures).
+    prior_obs_stage_iters: int = 4
     # Continuous-time sweep solve (12 DoF): jointly estimate the current
     # scan's own sweep motion instead of assuming the constant-velocity
     # prediction — removes the O(acceleration) residual-distortion error

@@ -20,6 +20,7 @@ import jax
 import jax.numpy as jnp
 
 from velo_tpu.config import SolverConfig
+from velo_tpu.geom import linalg as lin3
 from velo_tpu.geom import se3
 
 
@@ -72,15 +73,14 @@ def lm_solve(
     # of every step so the motion prior survives along them.
     if cfg.degen_rel_min > 0.0:
         H0 = stage(T0)[0] if stage is not None else build_system(T0)[0]
-
-        def block_proj(B):
-            evals, V = jnp.linalg.eigh(B)
-            keep = (evals > cfg.degen_rel_min * evals[-1]).astype(B.dtype)
-            return (V * keep[None, :]) @ V.T
-
-        P_keep = jax.scipy.linalg.block_diag(
-            block_proj(H0[:3, :3]), block_proj(H0[3:, 3:])
-        )
+        # One batched closed-form eig for both blocks: jnp.linalg.eigh
+        # lowers to an iterative routine that is serial on TPU and sits on
+        # the solve's critical path (2 calls x 9 solves per frame).
+        B = jnp.stack([H0[:3, :3], H0[3:, 3:]])
+        evals, V = lin3.sym_eig3x3(0.5 * (B + jnp.swapaxes(B, -1, -2)))
+        keep = (evals > cfg.degen_rel_min * evals[..., 2:3]).astype(H0.dtype)
+        P_blk = jnp.einsum("bik,bk,bjk->bij", V, keep, V)
+        P_keep = jax.scipy.linalg.block_diag(P_blk[0], P_blk[1])
     else:
         P_keep = jnp.eye(6, dtype=T0.dtype)
 
