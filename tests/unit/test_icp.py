@@ -399,3 +399,79 @@ def test_obs_prior_staged_basis_matches_dynamic_at_linearization():
     T_a, st_a = lm_solve(build_dyn, T_lin, cfg)
     T_b, st_b = lm_solve(None, T_lin, cfg, stage=stage)
     np.testing.assert_allclose(np.asarray(T_a), np.asarray(T_b), atol=5e-3)
+
+
+def test_deferred_lm_matches_classic_dynamic():
+    """prior_obs_impl="deferred" identity: the deferred-reject loop on the
+    full dynamic system must reproduce the classic loop's solution on the
+    SAME build — same linearization points, same costs, same accept
+    sequence — it only reorders when each linearization happens (and pays
+    lm_iters+1 builds instead of 2*lm_iters+1).  Uses the anisotropic-plane
+    setup above so the obs prior is active and nontrivial."""
+    rng = np.random.default_rng(11)
+    n = 200
+    pts = rng.uniform(-10, 10, (n, 3)).astype(np.float32)
+    raw = rng.normal(0, 1, (n, 3)).astype(np.float32)
+    raw[:, 0] *= 0.05
+    raw[:, 2] *= 0.4
+    nrm = raw / np.linalg.norm(raw, axis=1, keepdims=True)
+    d = -(nrm * pts).sum(1)
+    planars = jnp.asarray(pts)
+    ok = jnp.ones(n, bool)
+    edges = jnp.zeros((4, 3), jnp.float32)
+    e_ok = jnp.zeros(4, bool)
+
+    cfg = SolverConfig(prior_obs_gain=4.0)
+    prior_T = se3.identity()
+    T0 = se3.exp(jnp.asarray([0.4, -0.3, 0.2, 0.03, -0.02, 0.04],
+                             jnp.float32))
+    build_dyn = icp.make_lidar_system(
+        edges, e_ok, edges, edges + 1.0, e_ok,
+        planars, ok, jnp.asarray(nrm), jnp.asarray(d.astype(np.float32)),
+        ok, cfg, prior_T=prior_T)
+
+    from velo_tpu.solve.lm import lm_solve
+
+    T_c, st_c = lm_solve(build_dyn, T0, cfg)
+    T_d, st_d = lm_solve(build_dyn, T0, cfg, deferred=True)
+    np.testing.assert_allclose(np.asarray(T_d), np.asarray(T_c), atol=1e-5)
+    assert int(st_d.n_accept) == int(st_c.n_accept)
+    np.testing.assert_allclose(float(st_d.cost), float(st_c.cost),
+                               rtol=1e-5)
+    # And the solve genuinely moved (the identity wasn't vacuous).
+    assert float(jnp.linalg.norm(se3.log(T_c @ se3.inv(T0)))) > 1e-3
+
+
+def test_deferred_routing_end_to_end():
+    """solve_scan_to_scan with prior_obs_impl="deferred" routes through the
+    deferred loop and lands close to the staged solve (both are dynamic on
+    the build side; they differ only in trial-cost basis freshness)."""
+    rng = np.random.default_rng(3)
+    n = 256
+    pts = rng.uniform(-8, 8, (n, 3)).astype(np.float32)
+    pts[:, 2] = rng.uniform(-1, 1, n).astype(np.float32)
+    T_true = se3.exp(jnp.asarray([0.3, 0.1, 0.02, 0.01, -0.01, 0.03],
+                                 jnp.float32))
+    cur = se3.apply(se3.inv(T_true)[None], jnp.asarray(pts)[None])[0]
+    targets = icp.TargetSet(
+        pts=jnp.asarray(pts),
+        mask=jnp.ones(n, bool),
+        payload=jnp.zeros((n, 1), jnp.float32),
+    )
+    e_n = 8
+    e_targets = icp.TargetSet(
+        pts=jnp.asarray(pts[:e_n]), mask=jnp.zeros(e_n, bool),
+        payload=jnp.zeros((e_n, 1), jnp.float32))
+    mask = jnp.ones(n, bool)
+    e_mask = jnp.zeros(e_n, bool)
+    poses = {}
+    for impl in ("staged", "deferred"):
+        cfg = SolverConfig(prior_obs_gain=4.0, prior_obs_impl=impl)
+        T, diag = icp.solve_scan_to_scan(
+            cur[:e_n], e_mask, cur, mask, e_targets, targets,
+            se3.identity(), cfg, prior_T=se3.identity())
+        poses[impl] = np.asarray(T)
+    np.testing.assert_allclose(poses["deferred"][:3, 3],
+                               np.asarray(T_true)[:3, 3], atol=0.05)
+    np.testing.assert_allclose(poses["deferred"], poses["staged"],
+                               atol=0.05)

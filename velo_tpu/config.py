@@ -211,6 +211,25 @@ class SolverConfig:
     # 104.7) while fused planar drift improves 1.08 -> 0.89 %/100m
     # (5-seed means, bit-identical fixtures).
     prior_obs_stage_iters: int = 4
+    # HOW the obs-scaled prior rides the LM loop:
+    #   "staged"   — per-iteration basis refresh on the build side, but each
+    #                iteration's trial-cost probe scores the prior in the
+    #                basis FROZEN at its linearization point, so trial costs
+    #                carry no Hessian dependence and XLA dead-code-eliminates
+    #                their J^T W J einsums (solve cost: lm_iters H-builds).
+    #   "deferred" — exact dynamic cost everywhere: every LM evaluation is a
+    #                full linearization of the true dynamic-basis cost, and
+    #                the accept/reject decision reuses the cost that the next
+    #                step's linearization computes anyway (deferred-reject
+    #                LM: solve-then-evaluate, lm_iters+1 H-builds — vs the
+    #                round-4 dynamic loop's 2*lm_iters+1, which cost 31-38 %
+    #                of end-to-end throughput).  Accept decisions are
+    #                identical to the round-4 dynamic formulation.
+    # Round-5 full-scale 5-seed A/B (bit-identical fixtures): the staged
+    # trial-freeze approximation regressed fused planar 0.73 -> 1.48 %/100m
+    # (r4-dynamic vs staged at the same tip); deferred recovers the dynamic
+    # accuracy at ~1 H-build over the staged cost.
+    prior_obs_impl: str = "staged"
     # Continuous-time sweep solve (12 DoF): jointly estimate the current
     # scan's own sweep motion instead of assuming the constant-velocity
     # prediction — removes the O(acceleration) residual-distortion error

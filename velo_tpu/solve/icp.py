@@ -377,6 +377,16 @@ def _obs_scaled_prior(cfg: SolverConfig, w_prior, r_pr, H_obs):
     return _obs_prior_terms(obs_prior_basis(cfg, w_prior, H_obs), r_pr)
 
 
+def _use_deferred(cfg: SolverConfig, prior_T) -> bool:
+    """Static routing for prior_obs_impl="deferred": the deferred-reject LM
+    loop applies exactly when the obs-scaled prior is active (the same
+    condition under which :func:`_make_stage` returns a stage).  The 12-DoF
+    continuous-time solve (ct_sweep, default OFF) keeps the staged path."""
+    return (cfg.prior_obs_impl == "deferred" and prior_T is not None
+            and cfg.prior_obs_gain > 0.0
+            and (cfg.prior_weight_trans > 0 or cfg.prior_weight_rot > 0))
+
+
 def _make_stage(cfg: SolverConfig, prior_T, prior_scale, build_noprior):
     """Per-LM-iteration observability staging for :func:`lm_solve`.
 
@@ -590,11 +600,13 @@ def solve_scan_to_scan(
         n, d, p_ok, p_q = _planar_planes_fit(pq, pp, cur_planar_mask,
                                              cfg.map_knn)
 
-        # Observability-scaled prior: LM re-derives the eigenbasis per
-        # iteration from the prior-less system (dynamic on the build side),
-        # with trial costs under the iteration's frozen basis (H-free — see
-        # _make_stage / ObsBasis for the measured throughput rationale).
-        stage = _make_stage(
+        # Observability-scaled prior: either the deferred-reject loop on the
+        # full dynamic system (prior_obs_impl="deferred" — exact dynamic
+        # costs, lm_iters+1 builds) or per-LM-iteration staging (basis
+        # dynamic on the build side, trial costs under the iteration's
+        # frozen basis — see _make_stage / ObsBasis).
+        deferred = _use_deferred(cfg, prior_T)
+        stage = None if deferred else _make_stage(
             cfg, prior_T, prior_scale,
             make_lidar_system(cur_edges, cur_edge_mask, a, b, e_ok,
                               cur_planars, cur_planar_mask, n, d, p_ok,
@@ -607,7 +619,7 @@ def solve_scan_to_scan(
         n_e = jnp.sum(e_ok)
         n_p = jnp.sum(p_ok)
         enough = (n_e + n_p) >= _MIN_CORR
-        T_new, st = lm_solve(build, T, cfg, stage=stage)
+        T_new, st = lm_solve(build, T, cfg, stage=stage, deferred=deferred)
         T_out = jnp.where(enough, T_new, T)
         diag = SolveDiag(n_edge=n_e, n_planar=n_p, cost=st.cost,
                          degenerate=~enough,
@@ -658,7 +670,8 @@ def solve_scan_to_map(
         n, d, p_ok, p_q = _planar_planes_fit(pq, pp, cur_planar_mask, k)
         p_ok = p_ok & cur_planar_mask
 
-        stage = _make_stage(
+        deferred = _use_deferred(cfg, prior_T)
+        stage = None if deferred else _make_stage(
             cfg, prior_T, prior_scale,
             make_lidar_system(cur_edges, cur_edge_mask, a, b, e_ok,
                               cur_planars, cur_planar_mask, n, d, p_ok,
@@ -672,7 +685,7 @@ def solve_scan_to_map(
         n_e = jnp.sum(e_ok)
         n_p = jnp.sum(p_ok)
         enough = (n_e + n_p) >= _MIN_CORR
-        T_new, st = lm_solve(build, T, cfg, stage=stage)
+        T_new, st = lm_solve(build, T, cfg, stage=stage, deferred=deferred)
         T_out = jnp.where(enough, T_new, T)
         diag = SolveDiag(n_edge=n_e, n_planar=n_p, cost=st.cost,
                          degenerate=~enough,

@@ -41,6 +41,7 @@ def lm_solve(
     cfg: SolverConfig,
     iters: int | None = None,
     stage: "Callable | None" = None,
+    deferred: bool = False,
 ) -> Tuple[jnp.ndarray, LMState]:
     """Run masked fixed-iteration LM from T0; returns (T_opt, final state).
 
@@ -57,8 +58,21 @@ def lm_solve(
     regresses drift — then freezes (each re-derivation is a serial scalar
     chain on the critical path).  When ``stage`` is given, ``build_system``
     may be None.
+
+    ``deferred`` selects the deferred-reject loop (prior_obs_impl =
+    "deferred"): ``build_system`` must be the FULL dynamic system (prior
+    inside, basis from its own Hessian).  Each iteration solves the step
+    from the last accepted linearization, then evaluates the trial point
+    with one full linearization whose cost decides accept/reject — so the
+    accept sequence is exactly the classic dynamic LM's, at lm_iters+1
+    system builds instead of 2*lm_iters+1 (a trial cost with an H-dependent
+    prior cannot be dead-code-eliminated anyway, so the H/g computed with it
+    are free; on accept they seed the next step, on reject they are the one
+    wasted build classic LM also pays as a wasted cost probe).
     """
     iters = cfg.lm_iters if iters is None else iters
+    if deferred:
+        return _lm_solve_deferred(build_system, T0, cfg, iters)
 
     def cost_only(T):
         return build_system(T)[2]
@@ -147,6 +161,76 @@ def lm_solve(
     for i in range(iters):
         out = body(i, out)
     return out.T, out
+
+
+def _lm_solve_deferred(build_system, T0, cfg: SolverConfig, iters: int):
+    """Deferred-reject LM: solve-then-evaluate with exact dynamic costs.
+
+    State carries the last ACCEPTED linearization (T, H, g, cost).  Each
+    iteration computes the damped step from it, then fully linearizes the
+    trial point; the trial's cost decides accept/reject and, on accept, its
+    (H, g) seed the next step — one system build per iteration plus the
+    initial one.  Accept decisions match the classic loop on the same
+    dynamic cost bit-for-bit (same linearization points, same costs); only
+    the wasted work on a reject differs (a full build here vs a cost probe
+    there — with an H-dependent prior the probe paid the Hessian einsums
+    anyway).
+    """
+    H0, g0, c0 = build_system(T0)
+
+    if cfg.degen_rel_min > 0.0:
+        B = jnp.stack([H0[:3, :3], H0[3:, 3:]])
+        evals, V = lin3.sym_eig3x3(0.5 * (B + jnp.swapaxes(B, -1, -2)))
+        keep = (evals > cfg.degen_rel_min * evals[..., 2:3]).astype(H0.dtype)
+        P_blk = jnp.einsum("bik,bk,bjk->bij", V, keep, V)
+        P_keep = jax.scipy.linalg.block_diag(P_blk[0], P_blk[1])
+    else:
+        P_keep = jnp.eye(6, dtype=T0.dtype)
+
+    def body(st):
+        T, H, g, lam, cost, converged, last_delta, n_accept = st
+        D = jnp.sqrt(jnp.diagonal(H) + 1e-8)
+        Hs = H / (D[:, None] * D[None, :])
+        gs = g / D
+        A = (Hs + lam * jnp.eye(6, dtype=H.dtype)
+             + 1e-7 * jnp.eye(6, dtype=H.dtype))
+        L = jnp.linalg.cholesky(A)
+        delta_s = jax.scipy.linalg.cho_solve((L, True), -gs)
+        delta = P_keep @ (delta_s / D)
+        bad = ~jnp.all(jnp.isfinite(delta))
+        delta = jnp.where(bad, 0.0, delta)
+
+        T_try = se3.exp(delta) @ T
+        H_try, g_try, cost_try = build_system(T_try)
+        # A non-finite trial linearization must not be accepted (its H/g
+        # would poison every later step).
+        bad_try = ~(jnp.isfinite(cost_try)
+                    & jnp.all(jnp.isfinite(g_try)))
+        accept = (cost_try < cost) & ~bad & ~bad_try & ~converged
+
+        step = jnp.linalg.norm(delta)
+        lam_new = jnp.where(
+            accept, lam * cfg.lm_lambda_down, lam * cfg.lm_lambda_up
+        )
+        return (
+            jnp.where(accept, T_try, T),
+            jnp.where(accept, H_try, H),
+            jnp.where(accept, g_try, g),
+            jnp.where(converged, lam, jnp.clip(lam_new, 1e-9, 1e6)),
+            jnp.where(accept, cost_try, cost),
+            converged | (accept & (step < cfg.converge_tol)),
+            jnp.where(accept, step, last_delta),
+            n_accept + accept.astype(jnp.int32),
+        )
+
+    st = (T0, H0, g0, jnp.asarray(cfg.lm_lambda_init, T0.dtype), c0,
+          jnp.asarray(False), jnp.asarray(jnp.inf, T0.dtype), jnp.int32(0))
+    # Unrolled for the same ~30 us/while-trip reason as the classic loop.
+    for _ in range(iters):
+        st = body(st)
+    T, _, _, lam, cost, converged, last_delta, n_accept = st
+    return T, LMState(T=T, lam=lam, cost=cost, converged=converged,
+                      last_delta=last_delta, n_accept=n_accept)
 
 
 class LMStateCT(NamedTuple):
