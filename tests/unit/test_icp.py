@@ -465,7 +465,7 @@ def test_deferred_routing_end_to_end():
     mask = jnp.ones(n, bool)
     e_mask = jnp.zeros(e_n, bool)
     poses = {}
-    for impl in ("staged", "deferred"):
+    for impl in ("staged", "deferred", "deferred_tail"):
         cfg = SolverConfig(prior_obs_gain=4.0, prior_obs_impl=impl)
         T, diag = icp.solve_scan_to_scan(
             cur[:e_n], e_mask, cur, mask, e_targets, targets,
@@ -475,3 +475,41 @@ def test_deferred_routing_end_to_end():
                                np.asarray(T_true)[:3, 3], atol=0.05)
     np.testing.assert_allclose(poses["deferred"], poses["staged"],
                                atol=0.05)
+    np.testing.assert_allclose(poses["deferred_tail"], poses["deferred"],
+                               atol=0.05)
+
+
+def test_deferred_tail_matches_deferred_when_all_accepted():
+    """deferred_tail differs from pure deferred only in the final accept's
+    basis; when every step accepts with clear margins the two must land on
+    the same pose (the frozen-basis cost at the carried linearization point
+    coincides with the dynamic cost there)."""
+    rng = np.random.default_rng(11)
+    n = 200
+    pts = rng.uniform(-10, 10, (n, 3)).astype(np.float32)
+    raw = rng.normal(0, 1, (n, 3)).astype(np.float32)
+    raw[:, 0] *= 0.05
+    raw[:, 2] *= 0.4
+    nrm = raw / np.linalg.norm(raw, axis=1, keepdims=True)
+    d = -(nrm * pts).sum(1)
+    planars = jnp.asarray(pts)
+    ok = jnp.ones(n, bool)
+    edges = jnp.zeros((4, 3), jnp.float32)
+    e_ok = jnp.zeros(4, bool)
+    prior_T = se3.identity()
+    T0 = se3.exp(jnp.asarray([0.4, -0.3, 0.2, 0.03, -0.02, 0.04],
+                             jnp.float32))
+    from velo_tpu.solve.lm import lm_solve
+
+    cfg = SolverConfig(prior_obs_gain=4.0)
+    args = (edges, e_ok, edges, edges + 1.0, e_ok,
+            planars, ok, jnp.asarray(nrm),
+            jnp.asarray(d.astype(np.float32)), ok, cfg)
+    build_dyn = icp.make_lidar_system(*args, prior_T=prior_T)
+    build_nop = icp.make_lidar_system(*args)
+    stage = icp._make_stage(cfg, prior_T, None, build_nop)
+
+    T_d, st_d = lm_solve(build_dyn, T0, cfg, deferred=True)
+    T_t, st_t = lm_solve(None, T0, cfg, stage=stage, deferred=True)
+    np.testing.assert_allclose(np.asarray(T_t), np.asarray(T_d), atol=1e-4)
+    assert int(st_t.n_accept) == int(st_d.n_accept)

@@ -225,6 +225,13 @@ class SolverConfig:
     #                round-4 dynamic loop's 2*lm_iters+1, which cost 31-38 %
     #                of end-to-end throughput).  Accept decisions are
     #                identical to the round-4 dynamic formulation.
+    #   "deferred_tail" — deferred for the first lm_iters-1 steps, staged
+    #                for the LAST accept only: a final build's H/g are
+    #                discarded, but the dynamic prior cost keeps the Hessian
+    #                einsums live just to derive its basis — freezing that
+    #                one decision lets XLA dead-code-eliminate the whole
+    #                final build (lm_iters H-builds, the staged cost, with
+    #                only 1 of lm_iters accepts approximated).
     # Round-5 full-scale 5-seed A/B (bit-identical fixtures): the staged
     # trial-freeze approximation regressed fused planar 0.73 -> 1.48 %/100m
     # (r4-dynamic vs staged at the same tip); deferred recovers the dynamic

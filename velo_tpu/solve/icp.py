@@ -382,8 +382,8 @@ def _use_deferred(cfg: SolverConfig, prior_T) -> bool:
     loop applies exactly when the obs-scaled prior is active (the same
     condition under which :func:`_make_stage` returns a stage).  The 12-DoF
     continuous-time solve (ct_sweep, default OFF) keeps the staged path."""
-    return (cfg.prior_obs_impl == "deferred" and prior_T is not None
-            and cfg.prior_obs_gain > 0.0
+    return (cfg.prior_obs_impl in ("deferred", "deferred_tail")
+            and prior_T is not None and cfg.prior_obs_gain > 0.0
             and (cfg.prior_weight_trans > 0 or cfg.prior_weight_rot > 0))
 
 
@@ -606,11 +606,12 @@ def solve_scan_to_scan(
         # dynamic on the build side, trial costs under the iteration's
         # frozen basis — see _make_stage / ObsBasis).
         deferred = _use_deferred(cfg, prior_T)
-        stage = None if deferred else _make_stage(
+        stage = (None if (deferred and cfg.prior_obs_impl == "deferred")
+                 else _make_stage(
             cfg, prior_T, prior_scale,
             make_lidar_system(cur_edges, cur_edge_mask, a, b, e_ok,
                               cur_planars, cur_planar_mask, n, d, p_ok,
-                              cfg, vis=vis, planar_q=p_q))
+                              cfg, vis=vis, planar_q=p_q)))
         build = None if stage is not None else make_lidar_system(
             cur_edges, cur_edge_mask, a, b, e_ok,
             cur_planars, cur_planar_mask, n, d, p_ok, cfg, vis=vis,
@@ -671,11 +672,12 @@ def solve_scan_to_map(
         p_ok = p_ok & cur_planar_mask
 
         deferred = _use_deferred(cfg, prior_T)
-        stage = None if deferred else _make_stage(
+        stage = (None if (deferred and cfg.prior_obs_impl == "deferred")
+                 else _make_stage(
             cfg, prior_T, prior_scale,
             make_lidar_system(cur_edges, cur_edge_mask, a, b, e_ok,
                               cur_planars, cur_planar_mask, n, d, p_ok,
-                              cfg, edge_q=e_q, planar_q=p_q))
+                              cfg, edge_q=e_q, planar_q=p_q)))
         build = None if stage is not None else make_lidar_system(
             cur_edges, cur_edge_mask, a, b, e_ok,
             cur_planars, cur_planar_mask, n, d, p_ok, cfg,

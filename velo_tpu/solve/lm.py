@@ -72,6 +72,8 @@ def lm_solve(
     """
     iters = cfg.lm_iters if iters is None else iters
     if deferred:
+        if stage is not None:  # prior_obs_impl="deferred_tail"
+            return _lm_solve_deferred_tail(stage, T0, cfg, iters)
         return _lm_solve_deferred(build_system, T0, cfg, iters)
 
     def cost_only(T):
@@ -229,6 +231,93 @@ def _lm_solve_deferred(build_system, T0, cfg: SolverConfig, iters: int):
     for _ in range(iters):
         st = body(st)
     T, _, _, lam, cost, converged, last_delta, n_accept = st
+    return T, LMState(T=T, lam=lam, cost=cost, converged=converged,
+                      last_delta=last_delta, n_accept=n_accept)
+
+
+def _lm_solve_deferred_tail(stage, T0, cfg: SolverConfig, iters: int):
+    """Deferred-reject LM with a staged FINAL accept (prior_obs_impl=
+    "deferred_tail").
+
+    Identical to :func:`_lm_solve_deferred` for the first ``iters - 1``
+    steps — each trial point is fully linearized via ``stage(T_try)`` (basis
+    re-derived at T_try, so costs are the true dynamic costs) and that
+    linearization seeds the next step on accept.  The LAST iteration's
+    trial is instead scored under the basis frozen at the current
+    linearization (``stage(T_try, basis)``): the final build's H/g would be
+    discarded anyway, but a dynamic prior cost keeps the Hessian einsums
+    live just to derive its basis — freezing only this one accept decision
+    lets XLA dead-code-eliminate the entire final system build (one full
+    build saved per solve, i.e. the throughput gap between deferred and
+    staged), at the cost of one staged accept out of lm_iters, on the
+    smallest step of the solve.
+    """
+    H0, g0, c0, _, basis0 = stage(T0)
+
+    if cfg.degen_rel_min > 0.0:
+        B = jnp.stack([H0[:3, :3], H0[3:, 3:]])
+        evals, V = lin3.sym_eig3x3(0.5 * (B + jnp.swapaxes(B, -1, -2)))
+        keep = (evals > cfg.degen_rel_min * evals[..., 2:3]).astype(H0.dtype)
+        P_blk = jnp.einsum("bik,bk,bjk->bij", V, keep, V)
+        P_keep = jax.scipy.linalg.block_diag(P_blk[0], P_blk[1])
+    else:
+        P_keep = jnp.eye(6, dtype=T0.dtype)
+
+    def body(i, st):
+        T, H, g, lam, cost, basis, converged, last_delta, n_accept = st
+        D = jnp.sqrt(jnp.diagonal(H) + 1e-8)
+        Hs = H / (D[:, None] * D[None, :])
+        gs = g / D
+        A = (Hs + lam * jnp.eye(6, dtype=H.dtype)
+             + 1e-7 * jnp.eye(6, dtype=H.dtype))
+        L = jnp.linalg.cholesky(A)
+        delta_s = jax.scipy.linalg.cho_solve((L, True), -gs)
+        delta = P_keep @ (delta_s / D)
+        bad = ~jnp.all(jnp.isfinite(delta))
+        delta = jnp.where(bad, 0.0, delta)
+        T_try = se3.exp(delta) @ T
+
+        if i == iters - 1:
+            # Frozen-basis trial: the carried basis belongs to the carried
+            # linearization point, where the frozen cost coincides with the
+            # dynamic cost — so the comparison is consistent.  H/g/basis of
+            # this stage call are unused => their einsums are dead code.
+            _, _, cost_try, _, _ = stage(T_try, basis)
+            accept = (cost_try < cost) & ~bad \
+                & jnp.isfinite(cost_try) & ~converged
+            H_new, g_new, basis_new = H, g, basis
+        else:
+            H_t, g_t, cost_try, _, basis_t = stage(T_try)
+            bad_try = ~(jnp.isfinite(cost_try)
+                        & jnp.all(jnp.isfinite(g_t)))
+            accept = (cost_try < cost) & ~bad & ~bad_try & ~converged
+            H_new = jnp.where(accept, H_t, H)
+            g_new = jnp.where(accept, g_t, g)
+            basis_new = jax.tree.map(
+                lambda a, b: jnp.where(accept, a, b), basis_t, basis)
+
+        step = jnp.linalg.norm(delta)
+        lam_new = jnp.where(
+            accept, lam * cfg.lm_lambda_down, lam * cfg.lm_lambda_up
+        )
+        return (
+            jnp.where(accept, T_try, T),
+            H_new,
+            g_new,
+            jnp.where(converged, lam, jnp.clip(lam_new, 1e-9, 1e6)),
+            jnp.where(accept, cost_try, cost),
+            basis_new,
+            converged | (accept & (step < cfg.converge_tol)),
+            jnp.where(accept, step, last_delta),
+            n_accept + accept.astype(jnp.int32),
+        )
+
+    st = (T0, H0, g0, jnp.asarray(cfg.lm_lambda_init, T0.dtype), c0,
+          basis0, jnp.asarray(False), jnp.asarray(jnp.inf, T0.dtype),
+          jnp.int32(0))
+    for i in range(iters):
+        st = body(i, st)
+    T, _, _, lam, cost, _, converged, last_delta, n_accept = st
     return T, LMState(T=T, lam=lam, cost=cost, converged=converged,
                       last_delta=last_delta, n_accept=n_accept)
 
