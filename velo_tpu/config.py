@@ -232,10 +232,14 @@ class SolverConfig:
     #                one decision lets XLA dead-code-eliminate the whole
     #                final build (lm_iters H-builds, the staged cost, with
     #                only 1 of lm_iters accepts approximated).
-    # Round-5 full-scale 5-seed A/B (bit-identical fixtures): the staged
-    # trial-freeze approximation regressed fused planar 0.73 -> 1.48 %/100m
-    # (r4-dynamic vs staged at the same tip); deferred recovers the dynamic
-    # accuracy at ~1 H-build over the staged cost.
+    # Round-5 decision (10 full-scale seeds, BUILD_NOTES "10-seed
+    # decision"): the seed-0-4 draw (deferred fused 0.888 vs staged 1.478
+    # %/100m) REVERSED on fresh seeds 5-9 (2.350 vs 1.092) — 10-seed means
+    # favor staged on both planar families (fused 1.285 vs 1.619, LiDAR
+    # 1.385 vs 1.584), i.e. the impls are statistically tied within the
+    # per-seed chaos band.  Staged stays default; deferred/deferred_tail
+    # are the documented opt-in throughput levers (fused 111.6 vs ~103.6
+    # fps, LiDAR 150.8 vs 139.6) for fps-bound deployments.
     prior_obs_impl: str = "staged"
     # Continuous-time sweep solve (12 DoF): jointly estimate the current
     # scan's own sweep motion instead of assuming the constant-velocity
