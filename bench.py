@@ -121,31 +121,12 @@ def get_frames(cfg, with_images, cache):
 
 
 def apply_overrides(cfg, spec):
-    """Apply "v:klt_iters_fb=2,s:lm_iters=4"-style field overrides (same
-    syntax as scripts/longrun.py variants) — perf-iteration aid, not a
-    production surface."""
-    import dataclasses
+    """Shared "v:klt_iters_fb=2,s:lm_iters=4"-style field overrides
+    (velo_tpu.config.apply_overrides — same syntax as longrun variants
+    and `velo_tpu.cli --set`)."""
+    from velo_tpu.config import apply_overrides as _ao
 
-    for item in spec.replace(",", " ").split():
-        sub = {"v": "vision", "s": "solver", "l": "lidar", "m": "map"}[
-            item[0]]
-        kv = dict(p.split("=") for p in item[2:].split("+"))
-        subcfg = getattr(cfg, sub)
-        fields = {f.name: str(f.type) for f in dataclasses.fields(subcfg)}
-
-        def _c(k, v):
-            ty = fields[k]
-            if "bool" in ty:
-                return v in ("1", "true", "True")
-            if "int" in ty:
-                return int(v)
-            if "str" in ty:
-                return v
-            return float(v)
-
-        cfg = dataclasses.replace(cfg, **{sub: dataclasses.replace(
-            subcfg, **{k: _c(k, v) for k, v in kv.items()})})
-    return cfg
+    return _ao(cfg, spec)
 
 
 def bench_mode(mode):

@@ -68,7 +68,27 @@ def build_parser():
                         "program (vmap over the jitted scan)")
     p.add_argument("--shard", action="store_true",
                    help="shard the --batch dimension over all local devices")
+    p.add_argument("--set", dest="set_spec", default=None, metavar="SPEC",
+                   help="config field overrides, shared syntax: "
+                        "\"s:lm_iters=4,v:klt_iters_fb=2\" (s=solver, "
+                        "v=vision, l=lidar, m=map; see config.apply_overrides)")
+    p.add_argument("--fast", action="store_true",
+                   help="throughput preset (config.FAST_PRESET): "
+                        "deferred-tail obs-prior LM — measured +8-9%% fps "
+                        "over defaults at statistically-tied planar drift "
+                        "(round-5 10-seed table); applied before --set")
     return p
+
+
+def _apply_cli_overrides(cfg, args):
+    """--fast preset first, then explicit --set fields (so --set wins)."""
+    from velo_tpu.config import FAST_PRESET, apply_overrides
+
+    if args.fast:
+        cfg = apply_overrides(cfg, FAST_PRESET)
+    if args.set_spec:
+        cfg = apply_overrides(cfg, args.set_spec)
+    return cfg
 
 
 def run_batch_mode(args):
@@ -102,6 +122,7 @@ def run_batch_mode(args):
         # host-pre-binned (R, W, 5) grids (the bench/loader layout).
         prebin_host=not args.no_prebin,
     )
+    cfg = _apply_cli_overrides(cfg, args)
     print(f"simulating {args.batch} sequences x {args.frames} frames…",
           file=sys.stderr)
     from velo_tpu.lidar import rangeimage as ri_mod
@@ -196,6 +217,7 @@ def main(argv=None):
             use_deskew=not args.no_deskew,
             prebin_host=not args.no_prebin,
         )
+        cfg = _apply_cli_overrides(cfg, args)
         print(f"simulating {args.frames} frames…", file=sys.stderr)
         world_kw = {}
         if args.world == "suburban":
@@ -240,6 +262,7 @@ def main(argv=None):
             use_deskew=not args.no_deskew,
             prebin_host=not args.no_prebin,
         )
+        cfg = _apply_cli_overrides(cfg, args)
         seq = kitti.KittiSequence(args.kitti_root, args.seq,
                                   cfg.n_max_points)
         n = seq.n_frames if args.frames == 0 else min(args.frames,

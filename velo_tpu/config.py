@@ -319,6 +319,51 @@ class VeloConfig:
     # LiDAR ops in the device trace)
 
 
+def apply_overrides(cfg: VeloConfig, spec: str) -> VeloConfig:
+    """Apply ``"v:klt_iters_fb=2,s:lm_iters=4"``-style field overrides.
+
+    The shared override syntax used by ``bench.py`` (VELO_BENCH_OVERRIDES),
+    ``scripts/longrun.py`` variants, and ``velo_tpu.cli --set``: each
+    comma/space-separated item is ``<sub>:<field>=<value>[+<field>=<value>…]``
+    where ``<sub>`` is ``v`` (vision), ``s`` (solver), ``l`` (lidar) or
+    ``m`` (map).  Values are coerced to the dataclass field's annotated
+    type (bool accepts 1/true/True).  Returns a new frozen config.
+    """
+    import dataclasses
+
+    for item in spec.replace(",", " ").split():
+        if not item:
+            continue
+        sub = {"v": "vision", "s": "solver", "l": "lidar", "m": "map"}[
+            item[0]]
+        kv = dict(p.split("=") for p in item[2:].split("+"))
+        subcfg = getattr(cfg, sub)
+        fields = {f.name: str(f.type) for f in dataclasses.fields(subcfg)}
+
+        def _c(k, v):
+            ty = fields[k]
+            if "bool" in ty:
+                return v in ("1", "true", "True")
+            if "int" in ty:
+                return int(v)
+            if "str" in ty:
+                return v
+            return float(v)
+
+        cfg = dataclasses.replace(cfg, **{sub: dataclasses.replace(
+            subcfg, **{k: _c(k, v) for k, v in kv.items()})})
+    return cfg
+
+
+# The measured opt-in throughput preset (velo_tpu.cli --fast): the
+# deferred-reject obs-prior LM with a staged final accept.  Round-5
+# full-scale bench (480-frame dispatch, best-of-8): 151.95 LiDAR /
+# 112.56 fused fps vs 139.63/104.31 at defaults; planar drift is
+# statistically tied with the default within the per-seed chaos band
+# (10-seed means: BUILD_NOTES round-5 decision table).
+FAST_PRESET = "s:prior_obs_impl=deferred_tail"
+
+
 def lidar_only(**kw) -> VeloConfig:
     return VeloConfig(use_vision=False, **kw)
 
